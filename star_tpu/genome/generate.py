@@ -1,0 +1,138 @@
+"""Genome index generation: suffix array + prefix index (SAi).
+
+Semantics (not code) follow the reference index so that search results are
+bit-compatible (reference: source/Genome_genomeGenerate.cpp,
+source/genomeSAindex.cpp):
+
+* SA = lexicographically sorted suffixes of T2=concat(G, revcomp(G)),
+  restricted to positions whose first char is a real nucleotide (<4).
+  The spacer char (5) sorts above all real chars and terminates comparison;
+  suffixes equal up to a shared spacer tie-break by ascending position.
+* SAi level L (1..gSAindexNbases) maps every L-mer to the first SA row of its
+  block, with an ABSENT flag for missing L-mers (value = next present block
+  start) and an N flag when an N-interrupted suffix is mixed into the block's
+  row range.
+
+Implementation is our own: a vectorised prefix-doubling sort where spacer
+positions are replaced by unique ascending sentinels, which reproduces the
+"terminate at spacer, tie-break by position" total order exactly.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def sort_suffixes(t2: np.ndarray) -> np.ndarray:
+    """Return SA: combined positions p (0..2N) of nucleotide-starting suffixes
+    of t2, in lexicographic order (spacer-terminated, position tie-break)."""
+    # The reference allocation guards the doubled text with trailing spacers
+    # (genome buffer is memset to the spacer char); append one so suffixes
+    # near the end terminate identically.
+    t2 = np.concatenate([t2, np.array([5], dtype=np.int8)])
+    n = len(t2)
+    # text for ordering: spacers become unique ascending sentinels > any base
+    keys = t2.astype(np.int64)
+    sp = np.flatnonzero(t2 >= 5)
+    keys[sp] = 6 + np.arange(len(sp), dtype=np.int64)
+    rank = _dense_rank(keys)
+    k = 1
+    while True:
+        key2 = np.full(n, -1, dtype=np.int64)
+        key2[: n - k] = rank[k:]
+        order = np.lexsort((key2, rank))
+        r1 = rank[order]
+        r2 = key2[order]
+        boundary = np.empty(n, dtype=np.int64)
+        boundary[0] = 0
+        boundary[1:] = ((r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])).astype(np.int64)
+        boundary = np.cumsum(boundary)
+        if boundary[-1] == n - 1:
+            sa_all = order
+            break
+        rank = np.empty(n, dtype=np.int64)
+        rank[order] = boundary
+        k *= 2
+        if k >= n:
+            sa_all = np.argsort(rank, kind="stable")
+            break
+    return sa_all[t2[sa_all] < 4].astype(np.int64)
+
+
+def _dense_rank(keys: np.ndarray) -> np.ndarray:
+    order = np.argsort(keys, kind="stable")
+    rank = np.empty(len(keys), dtype=np.int64)
+    s = keys[order]
+    r = np.empty(len(keys), dtype=np.int64)
+    r[0] = 0
+    r[1:] = np.cumsum(s[1:] != s[:-1])
+    rank[order] = r
+    return rank
+
+
+def build_sai(t2: np.ndarray, sa: np.ndarray, n_levels: int):
+    """Build the L-mer prefix index for L=1..n_levels.
+
+    Returns dict with concatenated per-level tables:
+      level_start[L]  (n_levels+1): offsets of level-L table (4^1, 4^2, ...)
+      val             int64: first SA row of the block / next-present start
+      absent          bool
+      nbit            bool
+    """
+    nsa = len(sa)
+    L = n_levels
+    # prefix chars [nsa, L]; pad with spacers like the reference's guard band
+    t2p = np.concatenate([t2, np.full(L, 5, dtype=np.int8)])
+    idx = sa[:, None] + np.arange(L)[None, :]
+    chars = t2p[idx].astype(np.int64)
+    bad = chars > 3
+    il4 = np.where(bad.any(axis=1), bad.argmax(axis=1), L)  # first N/spacer pos, L if none
+    # full prefix value with post-N chars zeroed
+    ch0 = np.where(bad, 0, chars)
+    pw = 4 ** np.arange(L - 1, -1, -1, dtype=np.int64)
+    full = ch0 @ pw
+
+    level_start = np.zeros(L + 1, dtype=np.int64)
+    for i in range(1, L + 1):
+        level_start[i] = level_start[i - 1] + (1 << (2 * i))
+    total = int(level_start[-1])
+    val = np.empty(total, dtype=np.int64)
+    absent = np.empty(total, dtype=bool)
+    nbit = np.zeros(total, dtype=bool)
+
+    rows = np.arange(nsa, dtype=np.int64)
+    for lvl in range(1, L + 1):
+        off = int(level_start[lvl - 1])
+        size = 1 << (2 * lvl)
+        pref = full >> (2 * (L - lvl))
+        valid = il4 >= lvl
+        vpref = pref[valid]
+        vrows = rows[valid]
+        # first occurrence of each distinct prefix among valid rows (SA order)
+        first_mask = np.empty(len(vpref), dtype=bool)
+        if len(vpref):
+            first_mask[0] = True
+            first_mask[1:] = vpref[1:] != vpref[:-1]
+        pres_v = vpref[first_mask]
+        pres_row = vrows[first_mask]
+        # present entries
+        v = np.full(size, nsa, dtype=np.int64)
+        ab = np.ones(size, dtype=bool)
+        v[pres_v] = pres_row
+        ab[pres_v] = False
+        # absent entries point at the next present block start
+        nxt = np.full(size, nsa, dtype=np.int64)
+        if len(pres_v):
+            pos = np.searchsorted(pres_v, np.arange(size), side="left")
+            inb = pos < len(pres_v)
+            nxt[inb] = pres_row[pos[inb]]
+        v = np.where(ab, nxt, v)
+        # N flag: invalid rows mark the most recent present block at <= row
+        inv_rows = rows[~valid]
+        if len(inv_rows) and len(pres_row):
+            j = np.searchsorted(pres_row, inv_rows, side="right") - 1
+            j = j[j >= 0]
+            marked = np.unique(pres_v[j])
+            nbit[off + marked] = True
+        val[off:off + size] = v
+        absent[off:off + size] = ab
+    return {"level_start": level_start, "val": val, "absent": absent, "nbit": nbit}

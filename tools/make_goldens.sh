@@ -1,0 +1,45 @@
+#!/bin/bash
+# Generate golden outputs with the reference STAR binary (read-only use of /root/reference).
+# Goldens are committed under tests/golden/ and used by integration tests.
+set -euo pipefail
+STAR=/root/reference/bin/Linux_x86_64/STAR
+cd "$(dirname "$0")/.."
+DATA=tests/data/small
+GOLD=tests/golden/small
+mkdir -p "$GOLD"
+
+# 1. genome index (no annotation)
+rm -rf "$GOLD/genome_idx"; mkdir -p "$GOLD/genome_idx"
+$STAR --runMode genomeGenerate --genomeDir "$GOLD/genome_idx" \
+      --genomeFastaFiles "$DATA/genome.fa" --genomeSAindexNbases 8 \
+      --runThreadN 2 --outFileNamePrefix "$GOLD/gg_" > /dev/null
+rm -f "$GOLD/gg_Log.out"
+
+# 2. SE alignment, default params, unsorted SAM
+rm -rf "$GOLD/se"; mkdir -p "$GOLD/se"
+$STAR --genomeDir "$GOLD/genome_idx" --readFilesIn "$DATA/reads_se.fastq" \
+      --runThreadN 1 --outFileNamePrefix "$GOLD/se/" --outSAMunmapped Within > /dev/null
+
+# 3. PE alignment
+rm -rf "$GOLD/pe"; mkdir -p "$GOLD/pe"
+$STAR --genomeDir "$GOLD/genome_idx" --readFilesIn "$DATA/reads_pe_1.fastq" "$DATA/reads_pe_2.fastq" \
+      --runThreadN 1 --outFileNamePrefix "$GOLD/pe/" --outSAMunmapped Within > /dev/null
+
+# 4. genome index with GTF (sjdb)
+rm -rf "$GOLD/genome_idx_gtf"; mkdir -p "$GOLD/genome_idx_gtf"
+$STAR --runMode genomeGenerate --genomeDir "$GOLD/genome_idx_gtf" \
+      --genomeFastaFiles "$DATA/genome.fa" --genomeSAindexNbases 8 \
+      --sjdbGTFfile "$DATA/annot.gtf" --sjdbOverhang 99 \
+      --runThreadN 2 --outFileNamePrefix "$GOLD/ggg_" > /dev/null
+rm -f "$GOLD/ggg_Log.out"
+
+# 5. SE alignment against sjdb index
+rm -rf "$GOLD/se_gtf"; mkdir -p "$GOLD/se_gtf"
+$STAR --genomeDir "$GOLD/genome_idx_gtf" --readFilesIn "$DATA/reads_se.fastq" \
+      --runThreadN 1 --outFileNamePrefix "$GOLD/se_gtf/" --outSAMunmapped Within > /dev/null
+
+# strip volatile lines (dates, versions paths) from logs we keep; drop tmp dirs
+find "$GOLD" -name "_STARtmp" -type d -exec rm -rf {} + 2>/dev/null || true
+find "$GOLD" -name "Log.progress.out" -delete || true
+find "$GOLD" -name "Log.out" -delete || true
+echo "goldens written to $GOLD"
