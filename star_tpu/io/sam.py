@@ -1,0 +1,301 @@
+"""SAM text output.
+
+Field-for-field compatible with the reference emitter
+(reference: source/ReadAlign_outputTranscriptSAM.cpp, source/samHeaders.cpp):
+CIGAR built from exon blocks (S/M/I/D/N), MAPQ tiers, NH/HI/AS/nM standard
+attributes plus NM/MD/jM/jI/XS/MC on request, unmapped records with uT:A:.
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+from ..constants import NUM_TO_NT, SJ_SAM_ANNOTATED_MOTIF_SHIFT
+from ..align.engine import ReadResult
+from ..align.transcript import Transcript
+
+_RC = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N"}
+
+
+def revcomp_str(s: str) -> str:
+    return "".join(_RC.get(c, "N") for c in reversed(s))
+
+
+def sam_header(gi, P, cmd_line: str = "") -> str:
+    out = ["@HD\tVN:1.4"]
+    for name, length in zip(gi.chr_name, gi.chr_length):
+        out.append(f"@SQ\tSN:{name}\tLN:{int(length)}")
+    from .. import __version__
+    pg = f"@PG\tID:STAR\tPN:STAR\tVN:{__version__}"
+    if cmd_line:
+        pg += f"\tCL:{cmd_line}"
+    out.append(pg)
+    if cmd_line:
+        out.append(f"@CO\tuser command line: {cmd_line}")
+    return "\n".join(out) + "\n"
+
+
+def _mapq(n_tr: int, P) -> int:
+    if n_tr >= 5:
+        return 0
+    if n_tr >= 3:
+        return 1
+    if n_tr == 2:
+        return 3
+    return P.outSAMmapqUnique
+
+
+def write_read_sam(res: ReadResult, gi, P, out: List[str]):
+    """emit all SAM lines for one read (mapped or unmapped-within)."""
+    n_mates = len(res.seqs)
+    if res.unmap_type < 0:
+        n_out = min(res.n_tr if P.outSAMmultNmax == -1 else P.outSAMmultNmax, res.n_tr)
+        mate_mapped = [False, False]
+        for i_tr in range(n_out):
+            tr = res.transcripts[i_tr]
+            out.append(transcript_sam(tr, res, res.n_tr, i_tr, gi, P))
+        tb = res.tr_best
+        mate_mapped[tb.exons[0][3]] = True
+        mate_mapped[tb.exons[-1][3]] = True
+        if n_mates > 1 and not (mate_mapped[0] and mate_mapped[1]):
+            res.unmap_type = 4
+            if P.outSAMunmappedWithin:
+                out.append(unmapped_sam(res, gi, P, mate_mapped))
+    elif P.outSAMunmappedWithin:
+        out.append(unmapped_sam(res, gi, P, [False, False]))
+
+
+def unmapped_sam(res: ReadResult, gi, P, mate_mapped) -> str:
+    lines = []
+    tb = res.tr_best
+    n_mates = len(res.seqs)
+    for imate in range(n_mates):
+        if mate_mapped[imate]:
+            continue
+        flag = 0x4
+        if n_mates == 2:
+            flag |= 0x1 + (0x40 if imate == 0 else 0x80)
+            if mate_mapped[1 - imate]:
+                if tb.Str != 1 - imate:
+                    flag |= 0x20
+            else:
+                flag |= 0x8
+        if mate_mapped[1 - imate] and not tb.primaryFlag and P.outSAMunmappedKeepPairs:
+            flag |= 0x100
+        f = [res.name, str(flag), "*", "0", "0", "*"]
+        if mate_mapped[1 - imate]:
+            f += [gi.chr_name[tb.Chr], str(int(tb.exons[0][1] + 1 - gi.chr_start[tb.Chr]))]
+        else:
+            f += ["*", "0"]
+        f += ["0", res.seqs[imate],
+              res.quals[imate] if res.read_file_type == 2 else "*",
+              "NH:i:0", "HI:i:0", f"AS:i:{tb.maxScore}", f"nM:i:{tb.nMM}",
+              f"uT:A:{res.unmap_type}"]
+        lines.append("\t".join(f))
+    return "\n".join(lines)
+
+
+def transcript_sam(tr: Transcript, res: ReadResult, n_tr_out: int, i_tr: int,
+                   gi, P, mate_chr=None, mate_start=None, mate_strand=0) -> str:
+    n_mates_read = len(res.seqs)
+    flag_paired = n_mates_read == 2
+    lread = res.lread
+    read_length = res.read_length
+
+    # split exons into mates at the -3 junction
+    i_ex_mate = tr.nExons - 1
+    n_mates = 1
+    for i in range(tr.nExons - 1):
+        if tr.canonSJ[i] == -3:
+            i_ex_mate = i
+            n_mates = 2
+            break
+
+    sam_flag_common = 0
+    if flag_paired:
+        sam_flag_common = 0x1
+        if i_ex_mate == tr.nExons - 1:
+            if mate_chr is None or mate_chr > gi.n_chr_real:
+                sam_flag_common += 0x8
+        else:
+            if (P.alignEndsProtrudeConcordant
+                or (tr.exons[0][1] <= tr.exons[i_ex_mate + 1][1] + tr.exons[0][0]
+                    and tr.exons[i_ex_mate][1] + tr.exons[i_ex_mate][2]
+                    <= tr.exons[-1][1] + lread - tr.exons[-1][0])):
+                sam_flag_common += 0x2
+
+    Str = tr.Str
+    left_mate = Str if flag_paired else 0
+
+    lines = []
+    mate_cigars = [None, None]
+    if "MC" in P.samAttrOrder and n_mates > 1:
+        for imate in range(n_mates):
+            mate_cigars[imate] = _cigar(tr, imate, i_ex_mate, left_mate, res, gi, P)[0]
+
+    for imate in range(n_mates):
+        sam_flag = sam_flag_common
+        i_ex1 = 0 if imate == 0 else i_ex_mate + 1
+        i_ex2 = i_ex_mate if imate == 0 else tr.nExons - 1
+        mate = tr.exons[i_ex1][3]
+        if mate == 0:
+            sam_flag |= Str * 0x10
+            if n_mates == 2:
+                sam_flag |= (1 - Str) * 0x20
+        else:
+            sam_flag |= (1 - Str) * 0x10
+            if n_mates == 2:
+                sam_flag |= Str * 0x20
+        if flag_paired:
+            sam_flag |= 0x40 if mate == 0 else 0x80
+            if n_mates == 1 and mate_strand == 1:
+                sam_flag |= 0x20
+        if not tr.primaryFlag:
+            sam_flag |= 0x100
+
+        cigar, sj_motif, sj_intron = _cigar(tr, imate, i_ex_mate, left_mate, res, gi, P)
+
+        if mate == Str:
+            seq_out = res.seqs[mate]
+            qual_out = res.quals[mate]
+        else:
+            seq_out = revcomp_str(res.seqs[mate])
+            qual_out = res.quals[mate][::-1]
+
+        mapq = _mapq(n_tr_out, P)
+        pos = int(tr.exons[i_ex1][1] + 1 - gi.chr_start[tr.Chr])
+        f = [res.name, str((sam_flag & P.outSAMflagAND) | P.outSAMflagOR),
+             gi.chr_name[tr.Chr], str(pos), str(mapq), cigar]
+        if n_mates > 1:
+            other = i_ex_mate + 1 if imate == 0 else 0
+            mate_pos = int(tr.exons[other][1] + 1 - gi.chr_start[tr.Chr])
+            tlen = int(tr.exons[-1][1] + tr.exons[-1][2] - tr.exons[0][1])
+            f += ["=", str(mate_pos), ("" if imate == 0 else "-") + str(tlen)]
+        elif mate_chr is not None and mate_chr < gi.n_chr_real:
+            f += [gi.chr_name[mate_chr], str(int(mate_start + 1 - gi.chr_start[mate_chr])), "0"]
+        else:
+            f += ["*", "0", "0"]
+        f.append(seq_out)
+        f.append(qual_out if (res.read_file_type == 2 and P.outSAMmode != "NoQS") else "*")
+
+        tag_nm, tag_md = (None, None)
+        if "NM" in P.samAttrOrder or "MD" in P.samAttrOrder:
+            tag_nm, tag_md = _nm_md(tr, i_ex1, i_ex2, res, gi)
+
+        for attr in P.samAttrOrder:
+            if attr == "NH":
+                f.append(f"NH:i:{n_tr_out}")
+            elif attr == "HI":
+                f.append(f"HI:i:{i_tr + P.outSAMattrIHstart}")
+            elif attr == "AS":
+                f.append(f"AS:i:{tr.maxScore}")
+            elif attr == "nM":
+                f.append(f"nM:i:{tr.nMM}")
+            elif attr == "jM":
+                f.append(f"jM:B:c{sj_motif}")
+            elif attr == "jI":
+                f.append(f"jI:B:i{sj_intron}")
+            elif attr == "XS":
+                if tr.sjMotifStrand == 1:
+                    f.append("XS:A:+")
+                elif tr.sjMotifStrand == 2:
+                    f.append("XS:A:-")
+            elif attr == "NM":
+                f.append(f"NM:i:{tag_nm}")
+            elif attr == "MD":
+                f.append(f"MD:Z:{tag_md}")
+            elif attr == "MC":
+                if n_mates > 1:
+                    f.append(f"MC:Z:{mate_cigars[1 - imate]}")
+        lines.append("\t".join(f))
+    return "\n".join(lines)
+
+
+def _cigar(tr: Transcript, imate: int, i_ex_mate: int, left_mate: int, res, gi, P):
+    read_length = res.read_length
+    # readLengthOriginal == readLength while clipping is off
+    i_ex1 = 0 if imate == 0 else i_ex_mate + 1
+    i_ex2 = i_ex_mate if imate == 0 else tr.nExons - 1
+    mate = tr.exons[i_ex1][3]
+    parts = []
+    sj_motif = []
+    sj_intron = []
+    trim_l = 0  # clipping support pending
+    trim_l1 = trim_l + tr.exons[i_ex1][0] - (
+        0 if tr.exons[i_ex1][0] < read_length[left_mate] else read_length[left_mate] + 1)
+    if trim_l1 > 0:
+        parts.append(f"{trim_l1}S")
+    for ii in range(i_ex1, i_ex2 + 1):
+        if ii > i_ex1:
+            gap_g = tr.exons[ii][1] - (tr.exons[ii - 1][1] + tr.exons[ii - 1][2])
+            gap_r = tr.exons[ii][0] - tr.exons[ii - 1][0] - tr.exons[ii - 1][2]
+            if gap_r > 0:
+                parts.append(f"{gap_r}I")
+            if tr.canonSJ[ii - 1] >= 0 or tr.sjAnnot[ii - 1] == 1:
+                parts.append(f"{gap_g}N")
+                sj_motif.append(tr.canonSJ[ii - 1]
+                                + (0 if tr.sjAnnot[ii - 1] == 0 else SJ_SAM_ANNOTATED_MOTIF_SHIFT))
+                sj_intron.append(int(tr.exons[ii - 1][1] + tr.exons[ii - 1][2] + 1
+                                     - gi.chr_start[tr.Chr]))
+                sj_intron.append(int(tr.exons[ii][1] - gi.chr_start[tr.Chr]))
+            elif gap_g > 0:
+                parts.append(f"{gap_g}D")
+        parts.append(f"{tr.exons[ii][2]}M")
+    trim_r1 = (read_length[left_mate] if tr.exons[i_ex1][0] < read_length[left_mate]
+               else read_length[left_mate] + 1 + read_length[mate]) \
+        - tr.exons[i_ex2][0] - tr.exons[i_ex2][2] - trim_l
+    if trim_r1 > 0:
+        parts.append(f"{trim_r1}S")
+    if sj_motif:
+        motif_s = "".join(f",{m}" for m in sj_motif)
+        intron_s = ""
+        for a in range(0, len(sj_intron), 2):
+            intron_s += f",{sj_intron[a]},{sj_intron[a+1]}"
+    else:
+        motif_s = ",-1"
+        intron_s = ",-1"
+    return "".join(parts), motif_s, intron_s
+
+
+def _nm_md(tr: Transcript, i_ex1: int, i_ex2: int, res, gi):
+    """NM/MD tags from base-level comparison (reference lines 242-276)."""
+    from ..constants import encode_seq, COMPLEMENT
+    import numpy as np
+    # rebuild combined numeric read in the transcript's strand frame
+    seqs = res.seqs
+    mates = [encode_seq(s) for s in seqs]
+    from ..constants import MARK_FRAG_SPACER_BASE
+    if len(mates) == 2:
+        comb = np.concatenate([mates[0], np.array([MARK_FRAG_SPACER_BASE], np.int8),
+                               np.array(COMPLEMENT, dtype=np.int8)[mates[1]][::-1]])
+    else:
+        comb = mates[0]
+    if tr.roStr != 0:
+        lut = np.array(COMPLEMENT + (0,) * 6 + (MARK_FRAG_SPACER_BASE,), dtype=np.int8)
+        comb = lut[comb[::-1]]
+    G = gi.G
+    tag_nm = 0
+    md = []
+    match_n = 0
+    for iex in range(i_ex1, i_ex2 + 1):
+        r0, g0, ln = tr.exons[iex][0], tr.exons[iex][1], tr.exons[iex][2]
+        for ii in range(ln):
+            r1 = comb[r0 + ii]
+            g1 = G[g0 + ii]
+            if r1 != g1 or r1 == 4 or g1 == 4:
+                tag_nm += 1
+                md.append(str(match_n))
+                md.append(NUM_TO_NT[g1])
+                match_n = 0
+            else:
+                match_n += 1
+        if iex < i_ex2:
+            if tr.canonSJ[iex] == -1:
+                tag_nm += tr.exons[iex + 1][1] - (g0 + ln)
+                md.append(str(match_n) + "^")
+                for g in range(g0 + ln, tr.exons[iex + 1][1]):
+                    md.append(NUM_TO_NT[G[g]])
+                match_n = 0
+            elif tr.canonSJ[iex] == -2:
+                tag_nm += tr.exons[iex + 1][0] - r0 - ln
+    md.append(str(match_n))
+    return tag_nm, "".join(md)
