@@ -1,0 +1,56 @@
+"""Golden integration tests: byte-identical SAM / SJ.out.tab vs reference STAR
+2.7.11b outputs on the bundled test configs."""
+import os
+
+import pytest
+
+from tests.conftest import DATA, GOLD
+
+
+def _strip_header(path):
+    with open(path) as f:
+        return [l for l in f if not l.startswith("@")]
+
+
+def _run_align(tmp_path, genome_dir, reads, extra=()):
+    from star_tpu.params import Parameters
+    from star_tpu.run import align_reads
+    prefix = str(tmp_path) + "/"
+    P = Parameters(["--genomeDir", genome_dir,
+                    "--readFilesIn", *reads,
+                    "--outFileNamePrefix", prefix,
+                    "--outSAMunmapped", "Within", *extra])
+    align_reads(P, use_device=False)
+    return prefix
+
+
+@pytest.mark.parametrize("case,reads", [
+    ("se", ["reads_se.fastq"]),
+    ("pe", ["reads_pe_1.fastq", "reads_pe_2.fastq"]),
+])
+def test_golden_sam_identical(tmp_path, case, reads):
+    prefix = _run_align(tmp_path, os.path.join(GOLD, "genome_idx"),
+                        [os.path.join(DATA, r) for r in reads])
+    got = _strip_header(prefix + "Aligned.out.sam")
+    want = _strip_header(os.path.join(GOLD, case, "Aligned.out.sam"))
+    assert got == want
+
+
+@pytest.mark.parametrize("case", ["se", "pe"])
+def test_golden_sj_identical(tmp_path, case):
+    reads = {"se": ["reads_se.fastq"],
+             "pe": ["reads_pe_1.fastq", "reads_pe_2.fastq"]}[case]
+    prefix = _run_align(tmp_path, os.path.join(GOLD, "genome_idx"),
+                        [os.path.join(DATA, r) for r in reads])
+    with open(prefix + "SJ.out.tab") as f1, \
+         open(os.path.join(GOLD, case, "SJ.out.tab")) as f2:
+        assert f1.read() == f2.read()
+
+
+def test_log_final_stats_match(tmp_path):
+    prefix = _run_align(tmp_path, os.path.join(GOLD, "genome_idx"),
+                        [os.path.join(DATA, "reads_se.fastq")])
+    def body(path):
+        with open(path) as f:
+            return [l for l in f][4:]  # skip timestamps/speed
+    assert body(prefix + "Log.final.out") == body(os.path.join(GOLD, "se", "Log.final.out"))
