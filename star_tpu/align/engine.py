@@ -66,14 +66,13 @@ class ReadAligner:
         return False
 
     # ------------------------------------------------------------- one read
-    def align_read(self, name: str, seqs: List[str], quals: List[str]) -> ReadResult:
+    def prepare_read(self, name: str, seqs: List[str], quals: List[str]):
+        """encode/combine mates -> (res, (read1, complement, revcomp))"""
         from ..constants import encode_seq
-        P, gi = self.P, self.gi
         res = ReadResult(name=name, seqs=seqs, quals=quals)
         n_mates = len(seqs)
         mates = [encode_seq(s) for s in seqs]
-        self.readLength = [len(m) for m in mates] + [0] * (2 - n_mates)
-        res.read_length = list(self.readLength)
+        res.read_length = [len(m) for m in mates] + [0] * (2 - n_mates)
 
         if n_mates == 2:
             lread = len(mates[0]) + len(mates[1]) + 1
@@ -88,15 +87,25 @@ class ReadAligner:
             read1 = mates[0].astype(np.int8)
         res.lread = lread
 
-        # complement / reverse-complement views
         comp_lut = np.full(256, 0, dtype=np.int8)
         for i, c in enumerate(COMPLEMENT):
             comp_lut[i] = c
         comp_lut[MARK_FRAG_SPACER_BASE] = MARK_FRAG_SPACER_BASE
         read1c = comp_lut[read1]
         read1rc = read1c[::-1].copy()
-        reads = (read1, read1c, read1rc)
+        return res, (read1, read1c, read1rc)
 
+    def align_read(self, name: str, seqs: List[str], quals: List[str]) -> ReadResult:
+        res, reads = self.prepare_read(name, seqs, quals)
+        seeds = search_pieces(self.gi, self.P, reads[0], res.lread)
+        return self.finish_read(res, reads, seeds)
+
+    def finish_read(self, res: ReadResult, reads, seeds) -> ReadResult:
+        """windows + stitch + filters, given the seed table"""
+        P, gi = self.P, self.gi
+        read1 = reads[0]
+        lread = res.lread
+        self.readLength = list(res.read_length)
         self.maxScoreMate = [0, 0]
         self.outFilterMismatchNmaxTotal = min(
             P.outFilterMismatchNmax,
@@ -105,9 +114,6 @@ class ReadAligner:
         tr_init = Transcript()
         tr_init.Lread = lread
         res.tr_best = tr_init
-
-        # ---- seed search
-        seeds = search_pieces(gi, P, read1, lread)
 
         if lread < P.outFilterMatchNmin:
             res.map_marker = MARKER_READ_TOO_SHORT

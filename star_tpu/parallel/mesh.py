@@ -1,0 +1,216 @@
+"""Multi-chip layout: data-parallel read batches x sharded suffix array.
+
+The reference scales by shared-memory threads on one node (reference:
+source/mapThreadsSpawn.cpp, source/SharedMemory.cpp); the TPU-native analog is
+a 2-D device mesh:
+
+  * axis "dp": read batches are data-parallel (the batch dimension of every
+    probe array is sharded over "dp");
+  * axis "ix": the suffix array is row-sharded over "ix" (the 26 GB human SA
+    does not fit one chip).  Every device bisects its own SA shard for every
+    probe in its "dp" slice; per-shard candidates are combined with mesh
+    collectives (max/min reductions over "ix"), which ride ICI.
+
+Correctness of the combine: for rows sorted lexicographically, the longest
+common prefix with a query is unimodal around the query's insertion point, so
+each shard's boundary-clipped insertion neighbourhood contains its shard-max
+lcp, and the global best interval is the contiguous union of per-shard equal
+ranges of the best prefix.  Results are bit-identical to the single-chip
+kernel (tests/test_sharding.py).
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices=None, dp: int = None, ix: int = None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if dp is None or ix is None:
+        ix = max(1, n // 2) if n > 1 else 1
+        dp = n // ix
+    assert dp * ix == n, (dp, ix, n)
+    dev = np.array(devices[:dp * ix]).reshape(dp, ix)
+    return Mesh(dev, ("dp", "ix"))
+
+
+@dataclass
+class ShardedIndex:
+    """genome index laid out over a mesh"""
+    mesh: Mesh
+    t2: jax.Array        # replicated (sharding over "ix" lands with big genomes)
+    sa: jax.Array        # [ix*S] row-sharded over "ix"
+    sai_val: jax.Array   # replicated
+    sai_absent: jax.Array
+    sai_nbit: jax.Array
+    level_start: tuple
+    n_sa: int
+    n_levels: int
+    ql: int
+    shard_rows: int      # S = rows per shard
+
+    @classmethod
+    def build(cls, gi, mesh: Mesh, ql: int = 256):
+        ix = mesh.shape["ix"]
+        S = -(-gi.n_sa // ix)
+        sa_pad = np.full(ix * S, gi.n_sa - 1, dtype=np.int64)
+        sa_pad[:gi.n_sa] = gi.sa
+        sa_pad = sa_pad.astype(np.int32 if 2 * gi.n_genome < 2**31 else np.int64)
+        t2p = np.concatenate([gi.t2, np.full(ql, 5, dtype=np.int8)])
+        repl = NamedSharding(mesh, P())
+        row = NamedSharding(mesh, P("ix"))
+        return cls(
+            mesh=mesh,
+            t2=jax.device_put(t2p, repl),
+            sa=jax.device_put(sa_pad, row),
+            sai_val=jax.device_put(gi.sai_val.astype(sa_pad.dtype), repl),
+            sai_absent=jax.device_put(gi.sai_absent, repl),
+            sai_nbit=jax.device_put(gi.sai_nbit, repl),
+            level_start=tuple(int(x) for x in gi.sai_level_start),
+            n_sa=gi.n_sa, n_levels=gi.sa_index_nbases, ql=ql, shard_rows=S)
+
+
+def _first_neq(qpad, g, qlen):
+    neq = qpad != g
+    first = jnp.argmax(neq, axis=1)
+    first = jnp.where(neq.any(axis=1), first, qpad.shape[1])
+    return jnp.minimum(first, qlen), neq.any(axis=1)
+
+
+def make_sharded_mmp(si: ShardedIndex):
+    """(queries [B, QL] int8 -1-padded, qlen [B] int32) -> (maxL, nrep, lo, hi)
+
+    queries sharded over "dp"; outputs sharded over "dp"; index work sharded
+    over "ix" with collective combines."""
+    mesh = si.mesh
+    L = si.n_levels
+    S = si.shard_rows
+    n_sa = si.n_sa
+    n_iters = max(1, math.ceil(math.log2(S + 1))) + 1
+
+    def gather_local(sa_loc, rows):
+        pos = jnp.take(sa_loc, rows, mode="clip").astype(jnp.int32)
+        idx = pos[:, None] + jnp.arange(si.ql, dtype=jnp.int32)[None, :]
+        return jnp.take(si.t2, idx, mode="clip")
+
+    def suffix_lt(sa_loc, rows, qpad):
+        g = gather_local(sa_loc, rows)
+        neq = qpad != g
+        first = jnp.argmax(neq, axis=1)
+        qc = jnp.take_along_axis(qpad, first[:, None], axis=1)[:, 0]
+        gc = jnp.take_along_axis(g, first[:, None], axis=1)[:, 0]
+        return gc < qc
+
+    def lower_bound_local(sa_loc, qpad, lo0, hi0):
+        def body(_, lohi):
+            lo, hi = lohi
+            mid = (lo + hi) // 2
+            lt = suffix_lt(sa_loc, mid, qpad)
+            run = lo < hi
+            lo = jnp.where(run & lt, mid + 1, lo)
+            hi = jnp.where(run & ~lt, mid, hi)
+            return lo, hi
+        lo, _ = jax.lax.fori_loop(0, n_iters, body, (lo0, hi0))
+        return lo
+
+    def lcp_local(sa_loc, rows, qpad, qlen):
+        g = gather_local(sa_loc, rows)
+        f, _ = _first_neq(qpad, g, qlen)
+        return f
+
+    def shard_fn(queries, qlen, sa_loc):
+        # runs per device: queries [b, QL] local dp slice; sa_loc [S]
+        shard = jax.lax.axis_index("ix").astype(jnp.int32)
+        base = shard * S
+        q = jnp.maximum(queries, -1)
+        B = q.shape[0]
+
+        # SAi lookup (replicated tables; identical on every "ix" member)
+        lmax = jnp.minimum(qlen, L)
+        qn = jnp.where(q[:, :L] < 0, 0, q[:, :L]).astype(jnp.int32)
+        prefix_vals = []
+        acc = jnp.zeros(B, dtype=jnp.int32)
+        for l in range(L):
+            acc = acc * 4 + qn[:, l]
+            prefix_vals.append(acc)
+        prefix_vals = jnp.stack(prefix_vals, axis=1)
+        present = []
+        for l in range(1, L + 1):
+            off = si.level_start[l - 1] + prefix_vals[:, l - 1]
+            ab = jnp.take(si.sai_absent, off, mode="clip")
+            present.append((~ab) & (l <= lmax))
+        present = jnp.stack(present, axis=1)
+        lind = L - jnp.argmax(present[:, ::-1].astype(jnp.int32), axis=1)
+        lind = jnp.where(present.any(axis=1), lind, 1)
+        ind1 = jnp.take_along_axis(prefix_vals, (lind - 1)[:, None], axis=1)[:, 0]
+        lvl_start = jnp.array(si.level_start[:-1], dtype=jnp.int32)[lind - 1]
+        lvl_end = jnp.array(si.level_start[1:], dtype=jnp.int32)[lind - 1]
+        off = lvl_start + ind1
+        isa1 = jnp.take(si.sai_val, off, mode="clip").astype(jnp.int32)
+        no_n = ~jnp.take(si.sai_nbit, off, mode="clip")
+        has_next = off + 1 < lvl_end
+        nxt_absent = jnp.take(si.sai_absent, jnp.minimum(off + 1, lvl_end - 1), mode="clip")
+        good = has_next & ~nxt_absent
+        isa2 = jnp.where(good,
+                         jnp.take(si.sai_val, jnp.minimum(off + 1, lvl_end - 1),
+                                  mode="clip").astype(jnp.int32) - 1,
+                         n_sa - 1)
+        case1 = (lind < L) & no_n & good
+        case2 = (isa1 == isa2) & no_n & good
+
+        # global range clipped into this shard (local row coordinates)
+        i1g, i2g = isa1, isa2
+        lo_loc = jnp.clip(i1g - base, 0, S)
+        hi_loc = jnp.clip(i2g + 1 - base, 0, S)  # exclusive
+        nonempty = lo_loc < hi_loc
+
+        ins = lower_bound_local(sa_loc, q, lo_loc, hi_loc)
+        l_a = lcp_local(sa_loc, jnp.minimum(ins, hi_loc - 1), q, qlen)
+        l_b = lcp_local(sa_loc, jnp.maximum(ins - 1, lo_loc), q, qlen)
+        l_a = jnp.where(nonempty & (ins < hi_loc), l_a, 0)
+        l_b = jnp.where(nonempty & (ins - 1 >= lo_loc), l_b, 0)
+        local_best = jnp.maximum(l_a, l_b).astype(jnp.int32)
+        best = jax.lax.pmax(local_best, "ix")
+
+        pos_idx = jnp.arange(q.shape[1], dtype=jnp.int32)[None, :]
+        q_lo = jnp.where(pos_idx < best[:, None], q, -1)
+        q_hi = jnp.where(pos_idx < best[:, None], q, 127)
+        q2 = jnp.concatenate([q_lo, q_hi], axis=0)
+        b0 = jnp.concatenate([lo_loc, lo_loc])
+        b1 = jnp.concatenate([hi_loc, hi_loc])
+        bounds = lower_bound_local(sa_loc, q2, b0, b1)
+        lo1 = bounds[:B] + base
+        hi1 = bounds[B:] - 1 + base
+        # shards whose slice contains no block rows contribute +inf/-inf
+        blk_nonempty = bounds[:B] < bounds[B:]
+        lo1 = jnp.where(nonempty & blk_nonempty, lo1, jnp.int32(2**31 - 1))
+        hi1 = jnp.where(nonempty & blk_nonempty, hi1, jnp.int32(-2**31))
+        lo1 = -jax.lax.pmax(-lo1, "ix")
+        hi1 = jax.lax.pmax(hi1, "ix")
+        empty = best == 0
+        lo1 = jnp.where(empty, i1g, lo1)
+        hi1 = jnp.where(empty, i2g, hi1)
+
+        max_l = jnp.where(case1, lind.astype(jnp.int32), best)
+        lo_out = jnp.where(case1 | case2, isa1, lo1)
+        hi_out = jnp.where(case1, isa2, jnp.where(case2, isa1, hi1))
+        return max_l, hi_out - lo_out + 1, lo_out, hi_out
+
+    mapped = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P("dp", None), P("dp"), P("ix")),
+        out_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
+        check_vma=False)
+
+    @jax.jit
+    def mmp(queries, qlen):
+        return mapped(queries, qlen, si.sa)
+
+    return mmp

@@ -1,10 +1,16 @@
 import os
 
-# Force a virtual 8-device CPU mesh for sharding tests before jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force a virtual 8-device CPU mesh for sharding tests.  The environment's
+# sitecustomize may pin jax_platforms programmatically, so override both the
+# env var and the jax config (before any backend initialisation).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest
 

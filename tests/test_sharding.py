@@ -1,0 +1,77 @@
+"""Sharded-index seed search on a virtual 8-device CPU mesh must be
+bit-identical to the host reference implementation."""
+import numpy as np
+import pytest
+
+import jax
+
+from star_tpu.align.seed import mmp_search
+
+
+def _make_queries(gi, n, seed=0, ql=256):
+    rng = np.random.default_rng(seed)
+    qs = np.full((n, ql), -1, dtype=np.int8)
+    qlens = np.zeros(n, dtype=np.int32)
+    for b in range(n):
+        if b % 3 == 0:
+            ln = int(rng.integers(6, 100))
+            q = rng.integers(0, 4, size=ln).astype(np.int8)
+        else:
+            p0 = int(rng.integers(0, gi.n_genome - 200))
+            ln = int(rng.integers(6, 100))
+            q = gi.t2[p0:p0 + ln].copy()
+            if (q >= 4).any():
+                q = rng.integers(0, 4, size=ln).astype(np.int8)
+            elif b % 5 == 0 and ln > 10:
+                q[int(rng.integers(2, ln - 2))] = int(rng.integers(0, 4))
+        qs[b, :len(q)] = q
+        qlens[b] = len(q)
+    return qs, qlens
+
+
+def test_device_kernel_matches_host(genome_index):
+    from star_tpu.ops.sa_search import DeviceIndex, make_mmp_kernel
+    gi = genome_index
+    di = DeviceIndex.build(gi, ql=128)
+    kern = make_mmp_kernel(di)
+    qs, qlens = _make_queries(gi, 256, ql=128)
+    maxl, nrep, lo, hi = [np.asarray(x) for x in kern(qs, qlens)]
+    for b in range(len(qs)):
+        assert (int(maxl[b]), int(nrep[b]), int(lo[b]), int(hi[b])) == \
+            mmp_search(gi, qs[b, :qlens[b]]), b
+
+
+@pytest.mark.parametrize("dp,ix", [(2, 4), (1, 8), (4, 2)])
+def test_sharded_mmp_matches_host(genome_index, dp, ix):
+    from star_tpu.parallel.mesh import make_mesh, ShardedIndex, make_sharded_mmp
+    gi = genome_index
+    assert len(jax.devices()) >= dp * ix
+    mesh = make_mesh(jax.devices()[:dp * ix], dp=dp, ix=ix)
+    si = ShardedIndex.build(gi, mesh, ql=128)
+    mmp = make_sharded_mmp(si)
+    qs, qlens = _make_queries(gi, 64, seed=7, ql=128)
+    maxl, nrep, lo, hi = [np.asarray(x) for x in mmp(qs, qlens)]
+    for b in range(len(qs)):
+        assert (int(maxl[b]), int(nrep[b]), int(lo[b]), int(hi[b])) == \
+            mmp_search(gi, qs[b, :qlens[b]]), b
+
+
+def test_device_pipeline_golden_se(tmp_path):
+    import os
+    from tests.conftest import DATA, GOLD
+    from star_tpu.params import Parameters
+    from star_tpu.run import align_reads
+    prefix = str(tmp_path) + "/"
+    P = Parameters(["--genomeDir", os.path.join(GOLD, "genome_idx"),
+                    "--readFilesIn", os.path.join(DATA, "reads_se.fastq"),
+                    "--outFileNamePrefix", prefix,
+                    "--outSAMunmapped", "Within",
+                    "--readMapNumber", "60"])
+    align_reads(P, use_device=True)
+    got = [l for l in open(prefix + "Aligned.out.sam") if not l.startswith("@")]
+    want = [l for l in open(os.path.join(GOLD, "se", "Aligned.out.sam"))
+            if not l.startswith("@")]
+    # first 60 reads only
+    names = {l.split("\t")[0] for l in got}
+    want60 = [l for l in want if l.split("\t")[0] in names]
+    assert got == want60
