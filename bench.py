@@ -1,0 +1,105 @@
+#!/usr/bin/env python3
+"""Benchmark: end-to-end alignment throughput (reads/s/chip) on a synthetic
+mammal-like read set, plus the MMP seed-search kernel rate.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "reads/s/chip", "vs_baseline": N}
+
+vs_baseline compares against reference STAR 2.7.11b single-thread mapping
+speed measured on the same generated dataset in this container
+(25.5 M reads/hour = 7083 reads/s; see tools/ for the harness).  The
+round-1 pipeline runs seed search on device and windows/stitching on host;
+subsequent rounds move the remaining stages into device kernels.
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, ROOT)
+
+BASELINE_REF_READS_PER_SEC = 7083.0  # STAR 2.7.11b, 1 thread, same dataset
+
+
+def ensure_dataset(tmp="/tmp/star_tpu_bench"):
+    data = os.path.join(tmp, "data")
+    idx = os.path.join(tmp, "idx")
+    if not os.path.exists(os.path.join(idx, "star_tpu.idx.npz")):
+        os.makedirs(tmp, exist_ok=True)
+        subprocess.run([sys.executable, os.path.join(ROOT, "tools", "make_test_data.py"),
+                        "--out", data, "--n-reads", "8000",
+                        "--chr-lens", "2000000", "1000000", "--seed", "7"],
+                       check=True, cwd=ROOT)
+        from star_tpu.genome.index import GenomeIndex
+        gi = GenomeIndex.generate([os.path.join(data, "genome.fa")],
+                                  sa_index_nbases=11)
+        gi.save(idx)
+    return data, idx
+
+
+def main():
+    data, idx = ensure_dataset()
+    from star_tpu.params import Parameters
+    from star_tpu.run import align_reads
+    from star_tpu.genome.index import GenomeIndex
+    import numpy as np
+
+    gi = GenomeIndex.load(idx)
+    n_reads = 2000
+
+    P = Parameters(["--genomeDir", idx,
+                    "--readFilesIn", os.path.join(data, "reads_se.fastq"),
+                    "--outFileNamePrefix", "/tmp/star_tpu_bench/out/",
+                    "--outSAMunmapped", "Within",
+                    "--readMapNumber", str(n_reads)])
+    os.makedirs("/tmp/star_tpu_bench/out", exist_ok=True)
+
+    # warmup (jit compile) on a small slice
+    Pw = P.clone(readMapNumber=64, outFileNamePrefix="/tmp/star_tpu_bench/warm/")
+    os.makedirs("/tmp/star_tpu_bench/warm", exist_ok=True)
+    align_reads(Pw, gi=gi)
+
+    t0 = time.time()
+    stats = align_reads(P, gi=gi)
+    dt = time.time() - t0
+    reads_per_sec = stats.read_n / dt
+
+    # kernel-only rate: batched MMP probes/s
+    import jax
+    from star_tpu.ops.sa_search import DeviceIndex, make_mmp_kernel
+    di = DeviceIndex.build(gi, ql=128)
+    kern = make_mmp_kernel(di)
+    rng = np.random.default_rng(0)
+    B = 8192
+    qs = np.full((B, 128), -1, dtype=np.int8)
+    qlens = np.full(B, 100, dtype=np.int32)
+    pos = rng.integers(0, gi.n_genome - 200, size=B)
+    for b in range(B):
+        q = gi.t2[pos[b]:pos[b] + 100]
+        qs[b, :100] = np.where(q < 4, q, 0)
+    jax.block_until_ready(kern(qs, qlens))  # compile
+    t0 = time.time()
+    reps = 20
+    for _ in range(reps):
+        out = kern(qs, qlens)
+    jax.block_until_ready(out)
+    probes_per_sec = B * reps / (time.time() - t0)
+
+    result = {
+        "metric": "reads aligned/sec/chip (synthetic 100bp SE, 3MB genome)",
+        "value": round(reads_per_sec, 2),
+        "unit": "reads/s",
+        "vs_baseline": round(reads_per_sec / BASELINE_REF_READS_PER_SEC, 4),
+        "detail": {
+            "seed_search_probes_per_sec": round(probes_per_sec, 0),
+            "baseline_ref_reads_per_sec_1thread": BASELINE_REF_READS_PER_SEC,
+            "n_reads": stats.read_n,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -183,7 +183,9 @@ class GenomeIndex:
         with open(os.path.join(genome_dir, "SA"), "rb") as f:
             sa_bytes = np.frombuffer(f.read(), dtype=np.uint8)
         word_len = gstrand_bit + 1
-        n_sa = len(sa_bytes) * 8 // word_len
+        # invert the reference allocation lengthByte=(n-1)*w/8+8
+        # (reference: PackedArray.cpp:13)
+        n_sa = ((len(sa_bytes) - 8) * 8 + 7) // word_len + 1
         sa_packed = unpack_bits(sa_bytes, word_len, n_sa)
         strand = sa_packed >> gstrand_bit
         pos = sa_packed & ((1 << gstrand_bit) - 1)
