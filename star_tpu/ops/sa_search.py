@@ -108,8 +108,7 @@ def make_mmp_kernel(di: DeviceIndex):
     n_iters = _n_bisect_iters(di.n_sa)
     n_sa = di.n_sa
 
-    def mmp(queries, qlen):
-        t2, sa = di.t2, di.sa
+    def mmp(t2, sa, sai_val, sai_absent, sai_nbit, queries, qlen):
         B = queries.shape[0]
         q = jnp.maximum(queries, -1)
 
@@ -127,7 +126,7 @@ def make_mmp_kernel(di: DeviceIndex):
         present = []
         for l in range(1, L + 1):
             off = level_start[l - 1] + prefix_vals[:, l - 1]
-            ab = jnp.take(di.sai_absent, off, mode="clip")
+            ab = jnp.take(sai_absent, off, mode="clip")
             present.append((~ab) & (l <= lmax))
         present = jnp.stack(present, axis=1)  # [B, L]
         # largest present level (level-1 single bases always present)
@@ -138,15 +137,15 @@ def make_mmp_kernel(di: DeviceIndex):
         lvl_start = jnp.array(level_start[:-1], dtype=jnp.int32)[lind - 1]
         lvl_end = jnp.array(level_start[1:], dtype=jnp.int32)[lind - 1]
         off = lvl_start + ind1
-        isa1 = jnp.take(di.sai_val, off, mode="clip").astype(jnp.int32)
-        no_n = ~jnp.take(di.sai_nbit, off, mode="clip")
+        isa1 = jnp.take(sai_val, off, mode="clip").astype(jnp.int32)
+        no_n = ~jnp.take(sai_nbit, off, mode="clip")
 
         has_next = off + 1 < lvl_end
-        nxt_absent = jnp.take(di.sai_absent, jnp.minimum(off + 1, lvl_end - 1), mode="clip")
+        nxt_absent = jnp.take(sai_absent, jnp.minimum(off + 1, lvl_end - 1), mode="clip")
         good = has_next & ~nxt_absent
         isa2 = jnp.where(
             good,
-            jnp.take(di.sai_val, jnp.minimum(off + 1, lvl_end - 1), mode="clip").astype(jnp.int32) - 1,
+            jnp.take(sai_val, jnp.minimum(off + 1, lvl_end - 1), mode="clip").astype(jnp.int32) - 1,
             n_sa - 1)
 
         case1 = (lind < L) & no_n & good
@@ -183,4 +182,13 @@ def make_mmp_kernel(di: DeviceIndex):
         nrep = hi_out - lo_out + 1
         return max_l, nrep, lo_out, hi_out
 
-    return jax.jit(mmp)
+    jitted = jax.jit(mmp)
+
+    def call(queries, qlen):
+        # index arrays are passed as runtime args (NOT closure constants:
+        # constant-capture would bake them into the HLO as literals, making
+        # compiles and every execution pathologically slow)
+        return jitted(di.t2, di.sa, di.sai_val, di.sai_absent, di.sai_nbit,
+                      queries, qlen)
+
+    return call

@@ -95,24 +95,24 @@ def make_sharded_mmp(si: ShardedIndex):
     n_sa = si.n_sa
     n_iters = max(1, math.ceil(math.log2(S + 1))) + 1
 
-    def gather_local(sa_loc, rows):
+    def gather_local(t2, sa_loc, rows):
         pos = jnp.take(sa_loc, rows, mode="clip").astype(jnp.int32)
         idx = pos[:, None] + jnp.arange(si.ql, dtype=jnp.int32)[None, :]
-        return jnp.take(si.t2, idx, mode="clip")
+        return jnp.take(t2, idx, mode="clip")
 
-    def suffix_lt(sa_loc, rows, qpad):
-        g = gather_local(sa_loc, rows)
+    def suffix_lt(t2, sa_loc, rows, qpad):
+        g = gather_local(t2, sa_loc, rows)
         neq = qpad != g
         first = jnp.argmax(neq, axis=1)
         qc = jnp.take_along_axis(qpad, first[:, None], axis=1)[:, 0]
         gc = jnp.take_along_axis(g, first[:, None], axis=1)[:, 0]
         return gc < qc
 
-    def lower_bound_local(sa_loc, qpad, lo0, hi0):
+    def lower_bound_local(t2, sa_loc, qpad, lo0, hi0):
         def body(_, lohi):
             lo, hi = lohi
             mid = (lo + hi) // 2
-            lt = suffix_lt(sa_loc, mid, qpad)
+            lt = suffix_lt(t2, sa_loc, mid, qpad)
             run = lo < hi
             lo = jnp.where(run & lt, mid + 1, lo)
             hi = jnp.where(run & ~lt, mid, hi)
@@ -120,12 +120,12 @@ def make_sharded_mmp(si: ShardedIndex):
         lo, _ = jax.lax.fori_loop(0, n_iters, body, (lo0, hi0))
         return lo
 
-    def lcp_local(sa_loc, rows, qpad, qlen):
-        g = gather_local(sa_loc, rows)
+    def lcp_local(t2, sa_loc, rows, qpad, qlen):
+        g = gather_local(t2, sa_loc, rows)
         f, _ = _first_neq(qpad, g, qlen)
         return f
 
-    def shard_fn(queries, qlen, sa_loc):
+    def shard_fn(queries, qlen, sa_loc, t2, sai_val, sai_absent, sai_nbit):
         # runs per device: queries [b, QL] local dp slice; sa_loc [S]
         shard = jax.lax.axis_index("ix").astype(jnp.int32)
         base = shard * S
@@ -144,7 +144,7 @@ def make_sharded_mmp(si: ShardedIndex):
         present = []
         for l in range(1, L + 1):
             off = si.level_start[l - 1] + prefix_vals[:, l - 1]
-            ab = jnp.take(si.sai_absent, off, mode="clip")
+            ab = jnp.take(sai_absent, off, mode="clip")
             present.append((~ab) & (l <= lmax))
         present = jnp.stack(present, axis=1)
         lind = L - jnp.argmax(present[:, ::-1].astype(jnp.int32), axis=1)
@@ -153,13 +153,13 @@ def make_sharded_mmp(si: ShardedIndex):
         lvl_start = jnp.array(si.level_start[:-1], dtype=jnp.int32)[lind - 1]
         lvl_end = jnp.array(si.level_start[1:], dtype=jnp.int32)[lind - 1]
         off = lvl_start + ind1
-        isa1 = jnp.take(si.sai_val, off, mode="clip").astype(jnp.int32)
-        no_n = ~jnp.take(si.sai_nbit, off, mode="clip")
+        isa1 = jnp.take(sai_val, off, mode="clip").astype(jnp.int32)
+        no_n = ~jnp.take(sai_nbit, off, mode="clip")
         has_next = off + 1 < lvl_end
-        nxt_absent = jnp.take(si.sai_absent, jnp.minimum(off + 1, lvl_end - 1), mode="clip")
+        nxt_absent = jnp.take(sai_absent, jnp.minimum(off + 1, lvl_end - 1), mode="clip")
         good = has_next & ~nxt_absent
         isa2 = jnp.where(good,
-                         jnp.take(si.sai_val, jnp.minimum(off + 1, lvl_end - 1),
+                         jnp.take(sai_val, jnp.minimum(off + 1, lvl_end - 1),
                                   mode="clip").astype(jnp.int32) - 1,
                          n_sa - 1)
         case1 = (lind < L) & no_n & good
@@ -171,9 +171,9 @@ def make_sharded_mmp(si: ShardedIndex):
         hi_loc = jnp.clip(i2g + 1 - base, 0, S)  # exclusive
         nonempty = lo_loc < hi_loc
 
-        ins = lower_bound_local(sa_loc, q, lo_loc, hi_loc)
-        l_a = lcp_local(sa_loc, jnp.minimum(ins, hi_loc - 1), q, qlen)
-        l_b = lcp_local(sa_loc, jnp.maximum(ins - 1, lo_loc), q, qlen)
+        ins = lower_bound_local(t2, sa_loc, q, lo_loc, hi_loc)
+        l_a = lcp_local(t2, sa_loc, jnp.minimum(ins, hi_loc - 1), q, qlen)
+        l_b = lcp_local(t2, sa_loc, jnp.maximum(ins - 1, lo_loc), q, qlen)
         l_a = jnp.where(nonempty & (ins < hi_loc), l_a, 0)
         l_b = jnp.where(nonempty & (ins - 1 >= lo_loc), l_b, 0)
         local_best = jnp.maximum(l_a, l_b).astype(jnp.int32)
@@ -185,7 +185,7 @@ def make_sharded_mmp(si: ShardedIndex):
         q2 = jnp.concatenate([q_lo, q_hi], axis=0)
         b0 = jnp.concatenate([lo_loc, lo_loc])
         b1 = jnp.concatenate([hi_loc, hi_loc])
-        bounds = lower_bound_local(sa_loc, q2, b0, b1)
+        bounds = lower_bound_local(t2, sa_loc, q2, b0, b1)
         lo1 = bounds[:B] + base
         hi1 = bounds[B:] - 1 + base
         # shards whose slice contains no block rows contribute +inf/-inf
@@ -205,12 +205,16 @@ def make_sharded_mmp(si: ShardedIndex):
 
     mapped = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P("dp", None), P("dp"), P("ix")),
+        in_specs=(P("dp", None), P("dp"), P("ix"), P(), P(), P(), P()),
         out_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
         check_vma=False)
 
-    @jax.jit
+    jitted = jax.jit(mapped)
+
     def mmp(queries, qlen):
-        return mapped(queries, qlen, si.sa)
+        # index arrays passed as args (not closure constants) so they are
+        # never baked into the HLO
+        return jitted(queries, qlen, si.sa, si.t2, si.sai_val,
+                      si.sai_absent, si.sai_nbit)
 
     return mmp

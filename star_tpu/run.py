@@ -1,15 +1,17 @@
-"""Run drivers: genomeGenerate and alignReads (host path).
+"""Run drivers: genomeGenerate and alignReads.
 
-The host path runs the exact-semantics engine read-by-read; the device path
-(ops/, parallel/) accelerates the hot stages in batches and falls back here
-for the long tail.  Output file surface mirrors the reference aligner.
+Covers the reference run surface (reference: source/STAR.cpp dispatch):
+mapping-time sjdb insertion, two-pass mode (pass-1 junction discovery +
+re-insertion, reference: twoPassRunPass1.cpp), outFilterType BySJout
+(two-stage novel-junction filtering, reference: STAR.cpp:203-220), SAM/SJ/
+log outputs.  The device path accelerates seed search; host runs the rest.
 """
 from __future__ import annotations
 
 import os
 import sys
 import time
-from typing import List, Optional
+from typing import Iterator, List, Optional
 
 from .params import Parameters
 from .genome.index import GenomeIndex
@@ -26,32 +28,127 @@ def genome_generate(P: Parameters):
         sa_index_nbases=P.genomeSAindexNbases, sa_sparse_d=P.genomeSAsparseD)
     if P.sjdbGTFfile != "-" or P.sjdbFileChrStartEnd[0] != "-":
         from .genome.sjdb import insert_junctions_from_annotations
-        gi = insert_junctions_from_annotations(gi, P)
+        gi.sjdb_overhang = P.sjdbOverhang
+        gi = insert_junctions_from_annotations(gi, P, out_dir=P.genomeDir)
     gi.save(P.genomeDir)
     return gi
+
+
+def _collect_sjdb_loci(gi, P, pass1_sj_file=None):
+    """junction list for (re-)insertion: saved genome sjdb (prio 30) +
+    mapping-time files (10) / GTF (20) + pass-1 discoveries (0)."""
+    from .genome.gtf import SjdbLoci, parse_gtf, transcript_gene_sj
+    from .genome.sjdb import load_sjdb_file
+    sjdb = SjdbLoci()
+    if gi.sjdb_n > 0:
+        # reconstruct saved junction list from tables
+        strand_char = ".+-"
+        for i in range(gi.sjdb_n):
+            s, e = int(gi.sjdb_start[i]), int(gi.sjdb_end[i])
+            sh = int(gi.sjdb_shift_left[i]) if gi.sjdb_motif[i] == 0 else 0
+            ci = int(gi.chr_bin[s >> gi.chr_bin_nbits])
+            cs = int(gi.chr_start[ci])
+            sjdb.chr.append(gi.chr_name[ci])
+            sjdb.start.append(s - cs + 1 + sh)
+            sjdb.end.append(e - cs + 1 + sh)
+            sjdb.str_.append(strand_char[gi.sjdb_strand[i]])
+            sjdb.gene.append(set())
+            sjdb.priority.append(30)
+    if P.sjdbFileChrStartEnd[0] != "-":
+        for path in P.sjdbFileChrStartEnd:
+            load_sjdb_file(path, sjdb, priority=10)
+    if P.sjdbGTFfile != "-":
+        ann = parse_gtf(P.sjdbGTFfile, gi, P)
+        transcript_gene_sj(ann, gi, _tmp_dir(P), sjdb)
+    if pass1_sj_file is not None:
+        load_sjdb_file(pass1_sj_file, sjdb, priority=0)
+    return sjdb
+
+
+def _tmp_dir(P):
+    d = P.outFileNamePrefix + "_STARtmp"
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _pristine(gi):
+    """genome index restricted to the real chromosomes (drop sj region)"""
+    if gi.sjdb_n == 0:
+        return gi
+    import numpy as np
+    from .genome.fasta import build_t2
+    from .genome.generate import sort_suffixes, build_sai
+    n_real = int(gi.chr_start[-1])
+    G = gi.G[:n_real].copy()
+    t2 = build_t2(G)
+    sa = sort_suffixes(t2)
+    sai = build_sai(t2, sa, gi.sa_index_nbases)
+    return GenomeIndex(
+        G=G, t2=t2, sa=sa, sai_level_start=sai["level_start"],
+        sai_val=sai["val"], sai_absent=sai["absent"], sai_nbit=sai["nbit"],
+        chr_name=list(gi.chr_name), chr_start=gi.chr_start.copy(),
+        chr_length=gi.chr_length.copy(), chr_bin_nbits=gi.chr_bin_nbits,
+        sa_index_nbases=gi.sa_index_nbases, sa_sparse_d=gi.sa_sparse_d,
+        sjdb_overhang=gi.sjdb_overhang)
 
 
 def align_reads(P: Parameters, gi: Optional[GenomeIndex] = None, use_device=None):
     if gi is None:
         gi = GenomeIndex.load(P.genomeDir)
+
+    # mapping-time sjdb insertion (GTF / junction files given at align time)
+    if P.sjdbGTFfile != "-" or P.sjdbFileChrStartEnd[0] != "-":
+        from .genome.sjdb import insert_junctions
+        sjdb = _collect_sjdb_loci(gi, P)
+        base = _pristine(gi)
+        base.sjdb_overhang = P.sjdbOverhang if gi.sjdb_n == 0 else gi.sjdb_overhang
+        gi = insert_junctions(base, sjdb, P, out_dir=_tmp_dir(P))
+
+    # two-pass: pass 1 + junction re-insertion
+    if P.twopassYes:
+        pass1_dir = P.outFileNamePrefix + "_STARpass1/"
+        os.makedirs(pass1_dir, exist_ok=True)
+        P1 = P.clone(outSAMtype=["None"], outSAMunmapped=["None"],
+                     outReadsUnmapped="None", outFileNamePrefix=pass1_dir,
+                     twopassMode="None", outFilterType="Normal",
+                     quantMode=["-"],
+                     readMapNumber=(P.twopass1readsN
+                                    if P.twopass1readsN >= 0 else P.readMapNumber))
+        _run_mapping(P1, gi, use_device)
+        from .genome.sjdb import insert_junctions
+        sjdb = _collect_sjdb_loci(gi, P, pass1_sj_file=pass1_dir + "SJ.out.tab")
+        base = _pristine(gi)
+        base.sjdb_overhang = P.sjdbOverhang if base.sjdb_overhang == 0 else base.sjdb_overhang
+        if base.sjdb_overhang == 0:
+            base.sjdb_overhang = 100
+        gi = insert_junctions(base, sjdb, P, out_dir=_tmp_dir(P))
+
+    return _run_mapping(P, gi, use_device)
+
+
+def _run_mapping(P: Parameters, gi: GenomeIndex, use_device=None) -> RunStats:
     prefix = P.outFileNamePrefix
-    os.makedirs(os.path.dirname(prefix) if os.path.dirname(prefix) else ".", exist_ok=True)
+    if os.path.dirname(prefix):
+        os.makedirs(os.path.dirname(prefix), exist_ok=True)
 
     stats = RunStats()
     stats.time_start_map = time.time()
-    sj = SJCollector(P, gi)
+    sj = SJCollector(P, gi)     # final SJ.out.tab records
+    sj1 = SJCollector(P, gi)    # BySJout stage-1 records (all reads)
     sam_lines: List[str] = []
 
     if use_device is None:
         use_device = bool(P.tpuUseDevice)
-    results = _align_all(P, gi, stats, use_device)
+
+    by_sjout = P.outFilterBySJoutStage == 1
+    held = []
 
     unmapped_streams = None
     if P.outReadsUnmapped == "Fastx":
-        n_m = P.readNmates
-        unmapped_streams = [open(prefix + f"Unmapped.out.mate{i+1}", "w") for i in range(n_m)]
+        unmapped_streams = [open(prefix + f"Unmapped.out.mate{i+1}", "w")
+                            for i in range(P.readNmates)]
 
-    for res in results:
+    def emit(res, aligner):
         if res.unmap_type < 0:
             sj.add_read(res.transcripts, res.n_tr)
             stats.add_mapped(res)
@@ -59,12 +156,41 @@ def align_reads(P: Parameters, gi: Optional[GenomeIndex] = None, use_device=None
         if res.unmap_type >= 0:
             stats.add_unmapped(res)
             if unmapped_streams is not None:
+                mm = ""
+                if len(res.seqs) > 1:
+                    mm = f" {int(res.mate_mapped[0] if hasattr(res,'mate_mapped') else 0)}{int(0)}"
                 for im in range(len(res.seqs)):
-                    mm = ""
-                    if len(res.seqs) > 1:
-                        mm = " 00"  # mate-mapped flags land with PE unmapped support
                     unmapped_streams[im].write(
-                        f"@{res.name} {im}::{mm}\n{res.seqs[im]}\n+\n{res.quals[im]}\n")
+                        f"@{res.name} {im}:N:{mm}\n{res.seqs[im]}\n+\n{res.quals[im]}\n")
+
+    aligner_holder = {}
+
+    for res in _align_all(P, gi, stats, use_device, aligner_holder):
+        if by_sjout:
+            sj1.add_read(res.transcripts, res.n_tr)
+            if res.unmap_type <= 0 and _has_novel_junction(res):
+                stats.read_n -= 1
+                stats.read_bases -= sum(len(s) for s in res.seqs)
+                held.append((res.name, res.seqs, res.quals, res.read_file_type))
+                continue
+        emit(res, None)
+
+    if by_sjout and held:
+        # stage 2: restrict stitching to the filtered novel junction set
+        novel = [(r[0], r[0] + r[1] - 1) for r in sj1.collapse_and_filter() if r[4] == 0]
+        import numpy as np
+        starts = np.array([x[0] for x in novel], dtype=np.int64)
+        ends = np.array([x[1] for x in novel], dtype=np.int64)
+        P2 = P.clone()
+        P2.outFilterBySJoutStage = 2
+        aligner = ReadAligner(gi, P2)
+        aligner.sj_novel = (starts, ends)
+        for name, seqs, quals, ftype in held:
+            res = aligner.align_read(name, seqs, quals)
+            res.read_file_type = ftype
+            stats.add_read(res)
+            emit(res, None)
+        P.outFilterBySJoutStage = 2  # final SJ output skips distance filter
 
     if unmapped_streams:
         for s in unmapped_streams:
@@ -72,19 +198,29 @@ def align_reads(P: Parameters, gi: Optional[GenomeIndex] = None, use_device=None
 
     stats.time_end_map = time.time()
 
-    if P.outSAMbool and P.outSAMmode != "None":
+    if P.outSAMbool and P.outSAMtype[0] != "None" and P.outSAMmode != "None":
         with open(prefix + "Aligned.out.sam", "w") as f:
             f.write(sam_header(gi, P))
             for line in sam_lines:
                 if line:
                     f.write(line + "\n")
-    sj.write(prefix + "SJ.out.tab")
+    if P.outSJtype == "Standard":
+        sj.write(prefix + "SJ.out.tab")
     with open(prefix + "Log.final.out", "w") as f:
         f.write(stats.report_final())
     return stats
 
 
-def _align_all(P: Parameters, gi: GenomeIndex, stats: RunStats, use_device: bool):
+def _has_novel_junction(res) -> bool:
+    for tr in res.transcripts:
+        for iex in range(tr.nExons - 1):
+            if tr.canonSJ[iex] >= 0 and tr.sjAnnot[iex] == 0:
+                return True
+    return False
+
+
+def _align_all(P: Parameters, gi: GenomeIndex, stats: RunStats, use_device: bool,
+               holder=None):
     reader = read_pairs(P.readFilesIn[:P.readNmates], P.readFilesCommand)
     if use_device:
         from .ops.pipeline import DeviceAligner
