@@ -137,6 +137,7 @@ class ReadAligner:
 
         # ---- stitch: transcripts per window
         stitcher = WindowStitcher(gi, P, self)
+        reads_b = (bytes(reads[0]), bytes(reads[2]))
         all_win_tr: List[List[Transcript]] = []
         tr_best = tr_init
         n_total = 0
@@ -152,7 +153,7 @@ class ReadAligner:
                 break
             win_tr = stitcher.stitch_window(
                 ws.wa[iw], ws.w_last_anchor[iw], tr0, lread,
-                reads[0] if tr0.roStr == 0 else reads[2])
+                reads_b[0] if tr0.roStr == 0 else reads_b[1])
             if not win_tr:
                 continue
             if (win_tr[0].maxScore > tr_best.maxScore

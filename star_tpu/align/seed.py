@@ -26,7 +26,7 @@ def suffix_cmp(gi: GenomeIndex, Q: np.ndarray, L0: int, row: int) -> Tuple[int, 
     equal chars.  Returns (lcp, order) with order <0 if Q < suffix, >0 if
     Q > suffix, 0 if Q is fully matched (prefix of suffix)."""
     p = int(gi.sa[row])
-    t2 = gi.t2
+    t2 = gi.t2_bytes
     n2 = len(t2)
     nq = len(Q)
     i = L0

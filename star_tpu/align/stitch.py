@@ -108,7 +108,7 @@ def stitch_align_to_transcript(r_a_end, g_a_end, r_b_start, g_b_start, L,
     large negative rejection code."""
     if tr.nExons >= MAX_N_EXONS:
         return -1000010
-    G = gi.G
+    G = gi.G_bytes
     score = 0
     last = tr.nExons - 1
 
@@ -389,7 +389,7 @@ def stitch_align_to_transcript(r_a_end, g_a_end, r_b_start, g_b_start, L,
             _pop_junction(tr)
             return -1000004
         score += SCORE_MATCH * L
-        ext = extend_align(R, gi.G, r_a_end + 1, g_a_end + 1, 1, 1,
+        ext = extend_align(R, G, r_a_end + 1, g_a_end + 1, 1, 1,
                            DEF_READ_SEQ_LENGTH_MAX, tr.nMatch, tr.nMM,
                            n_mm_max_total, P.outFilterMismatchNoverLmax,
                            P.alignEndsTypeExt[tr.exons[last][3]][1])
@@ -403,7 +403,7 @@ def stitch_align_to_transcript(r_a_end, g_a_end, r_b_start, g_b_start, L,
         ext = ExtendResult()
         extlen = (DEF_READ_SEQ_LENGTH_MAX if P.alignEndsTypeExt[i_frag_b][1]
                   else g_b_start - tr.exons[0][1] + tr.exons[0][0])
-        ext = extend_align(R, gi.G, r_b_start - 1, g_b_start - 1, -1, -1,
+        ext = extend_align(R, G, r_b_start - 1, g_b_start - 1, -1, -1,
                            extlen, tr.nMatch, tr.nMM, n_mm_max_total,
                            P.outFilterMismatchNoverLmax,
                            P.alignEndsTypeExt[i_frag_b][1])
@@ -525,7 +525,7 @@ class WindowStitcher:
         for which in order:
             if which == 0 and tr.rStart > 0:
                 imate = tr.exons[0][3]
-                ext = extend_align(R, gi.G, tr.rStart - 1, tr.gStart - 1, -1, -1,
+                ext = extend_align(R, gi.G_bytes, tr.rStart - 1, tr.gStart - 1, -1, -1,
                                    tr.rStart, tR2 - tr.rStart + 1, tr.nMM,
                                    ra.outFilterMismatchNmaxTotal,
                                    P.outFilterMismatchNoverLmax,
@@ -540,7 +540,7 @@ class WindowStitcher:
                     tr.gStart -= ext.extendL
             elif which == 1 and tR2 < Lread - 1:
                 imate = tr.exons[tr.nExons - 1][3]
-                ext = extend_align(R, gi.G, tR2 + 1, tG2 + 1, 1, 1,
+                ext = extend_align(R, gi.G_bytes, tR2 + 1, tG2 + 1, 1, 1,
                                    Lread - tR2 - 1, tR2 - tr.rStart + 1, tr.nMM,
                                    ra.outFilterMismatchNmaxTotal,
                                    P.outFilterMismatchNoverLmax,

@@ -65,18 +65,40 @@ class Transcript:
 
     def copy(self) -> "Transcript":
         t = Transcript.__new__(Transcript)
-        t.exons = [list(e) for e in self.exons]
-        t.canonSJ = list(self.canonSJ)
-        t.shiftSJ = [list(s) for s in self.shiftSJ]
-        t.sjAnnot = list(self.sjAnnot)
-        t.sjStr = list(self.sjStr)
-        for f in ("nExons", "rStart", "roStart", "rLength", "gStart", "gLength",
-                  "cStart", "Chr", "Str", "roStr", "iFrag", "primaryFlag",
-                  "nMatch", "nMM", "mappedLength", "extendL", "maxScore",
-                  "nGap", "lGap", "nDel", "nIns", "lDel", "lIns",
-                  "nUnique", "nAnchor", "sjMotifStrand", "sjYes", "Lread"):
-            setattr(t, f, getattr(self, f))
-        t.intronMotifs = list(self.intronMotifs)
+        t.exons = [e[:] for e in self.exons]
+        t.canonSJ = self.canonSJ[:]
+        t.shiftSJ = [s[:] for s in self.shiftSJ]
+        t.sjAnnot = self.sjAnnot[:]
+        t.sjStr = self.sjStr[:]
+        t.nExons = self.nExons
+        t.rStart = self.rStart
+        t.roStart = self.roStart
+        t.rLength = self.rLength
+        t.gStart = self.gStart
+        t.gLength = self.gLength
+        t.cStart = self.cStart
+        t.Chr = self.Chr
+        t.Str = self.Str
+        t.roStr = self.roStr
+        t.iFrag = self.iFrag
+        t.primaryFlag = self.primaryFlag
+        t.nMatch = self.nMatch
+        t.nMM = self.nMM
+        t.mappedLength = self.mappedLength
+        t.extendL = self.extendL
+        t.maxScore = self.maxScore
+        t.nGap = self.nGap
+        t.lGap = self.lGap
+        t.nDel = self.nDel
+        t.nIns = self.nIns
+        t.lDel = self.lDel
+        t.lIns = self.lIns
+        t.nUnique = self.nUnique
+        t.nAnchor = self.nAnchor
+        t.sjMotifStrand = self.sjMotifStrand
+        t.sjYes = self.sjYes
+        t.Lread = self.Lread
+        t.intronMotifs = self.intronMotifs[:]
         return t
 
     def add_counts(self, other: "Transcript"):

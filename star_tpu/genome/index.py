@@ -64,6 +64,22 @@ class GenomeIndex:
 
     def __post_init__(self):
         self.chr_bin = chr_bin_fill(self.chr_start, 1 << self.chr_bin_nbits)
+        self._g_bytes = None
+        self._t2_bytes = None
+
+    @property
+    def G_bytes(self) -> bytes:
+        """genome as a bytes object: per-base indexing from Python is ~10x
+        faster than numpy scalar indexing in the host stitch loops"""
+        if self._g_bytes is None:
+            self._g_bytes = self.G.tobytes()
+        return self._g_bytes
+
+    @property
+    def t2_bytes(self) -> bytes:
+        if self._t2_bytes is None:
+            self._t2_bytes = self.t2.tobytes()
+        return self._t2_bytes
 
     @property
     def sjdb_length(self) -> int:
