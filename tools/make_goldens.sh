@@ -43,3 +43,17 @@ find "$GOLD" -name "_STARtmp" -type d -exec rm -rf {} + 2>/dev/null || true
 find "$GOLD" -name "Log.progress.out" -delete || true
 find "$GOLD" -name "Log.out" -delete || true
 echo "goldens written to $GOLD"
+
+# 6. two-pass mode on plain index
+rm -rf "$GOLD/se_2pass"; mkdir -p "$GOLD/se_2pass"
+$STAR --genomeDir "$GOLD/genome_idx" --readFilesIn "$DATA/reads_se.fastq" \
+      --runThreadN 1 --outFileNamePrefix "$GOLD/se_2pass/" --outSAMunmapped Within \
+      --twopassMode Basic > /dev/null
+# 7. BySJout filtering
+rm -rf "$GOLD/se_bysjout"; mkdir -p "$GOLD/se_bysjout"
+$STAR --genomeDir "$GOLD/genome_idx" --readFilesIn "$DATA/reads_se.fastq" \
+      --runThreadN 1 --outFileNamePrefix "$GOLD/se_bysjout/" --outSAMunmapped Within \
+      --outFilterType BySJout > /dev/null
+find "$GOLD" -name "_STARtmp" -type d -exec rm -rf {} + 2>/dev/null || true
+find "$GOLD" -name "Log.progress.out" -delete || true
+find "$GOLD" -name "Log.out" -delete || true
