@@ -95,6 +95,7 @@ def _pristine(gi):
 def align_reads(P: Parameters, gi: Optional[GenomeIndex] = None, use_device=None):
     if gi is None:
         gi = GenomeIndex.load(P.genomeDir)
+    P.trInfoDir = P.genomeDir
 
     # mapping-time sjdb insertion (GTF / junction files given at align time)
     if P.sjdbGTFfile != "-" or P.sjdbFileChrStartEnd[0] != "-":
@@ -103,6 +104,8 @@ def align_reads(P: Parameters, gi: Optional[GenomeIndex] = None, use_device=None
         base = _pristine(gi)
         base.sjdb_overhang = P.sjdbOverhang if gi.sjdb_n == 0 else gi.sjdb_overhang
         gi = insert_junctions(base, sjdb, P, out_dir=_tmp_dir(P))
+        if P.sjdbGTFfile != "-":
+            P.trInfoDir = _tmp_dir(P)
 
     # two-pass: pass 1 + junction re-insertion
     if P.twopassYes:
@@ -137,6 +140,12 @@ def _run_mapping(P: Parameters, gi: GenomeIndex, use_device=None) -> RunStats:
     sj1 = SJCollector(P, gi)    # BySJout stage-1 records (all reads)
     sam_lines: List[str] = []
 
+    gene_counts = None
+    if P.quantModeGeneCounts:
+        from .quant.transcriptome import Transcriptome, GeneCounts
+        trm = Transcriptome.load(getattr(P, "trInfoDir", P.genomeDir))
+        gene_counts = GeneCounts(trm)
+
     if use_device is None:
         use_device = bool(P.tpuUseDevice)
 
@@ -152,6 +161,8 @@ def _run_mapping(P: Parameters, gi: GenomeIndex, use_device=None) -> RunStats:
         if res.unmap_type < 0:
             sj.add_read(res.transcripts, res.n_tr)
             stats.add_mapped(res)
+            if gene_counts is not None:
+                gene_counts.add_read(res.transcripts, res.n_tr)
         write_read_sam(res, gi, P, sam_lines)
         if res.unmap_type >= 0:
             stats.add_unmapped(res)
@@ -206,6 +217,10 @@ def _run_mapping(P: Parameters, gi: GenomeIndex, use_device=None) -> RunStats:
                     f.write(line + "\n")
     if P.outSJtype == "Standard":
         sj.write(prefix + "SJ.out.tab")
+    if gene_counts is not None:
+        n_unmapped = (stats.unmapped_mm + stats.unmapped_short
+                      + stats.unmapped_other + stats.unmapped_multi)
+        gene_counts.write(prefix + "ReadsPerGene.out.tab", n_unmapped)
     with open(prefix + "Log.final.out", "w") as f:
         f.write(stats.report_final())
     return stats

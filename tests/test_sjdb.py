@@ -47,3 +47,17 @@ def test_sjdb_alignment_golden(tmp_path, genome_index_gtf):
     with open(prefix + "SJ.out.tab") as a, \
          open(os.path.join(GOLD, "se_gtf", "SJ.out.tab")) as b:
         assert a.read() == b.read()
+
+
+def test_gene_counts_golden(tmp_path, genome_index_gtf):
+    from star_tpu.params import Parameters
+    from star_tpu.run import align_reads
+    prefix = str(tmp_path) + "/"
+    P = Parameters(["--genomeDir", os.path.join(GOLD, "genome_idx_gtf"),
+                    "--readFilesIn", os.path.join(DATA, "reads_se.fastq"),
+                    "--outFileNamePrefix", prefix,
+                    "--outSAMunmapped", "Within", "--quantMode", "GeneCounts"])
+    align_reads(P, gi=genome_index_gtf, use_device=False)
+    with open(prefix + "ReadsPerGene.out.tab") as a, \
+         open(os.path.join(GOLD, "se_quant", "ReadsPerGene.out.tab")) as b:
+        assert a.read() == b.read()

@@ -57,3 +57,12 @@ $STAR --genomeDir "$GOLD/genome_idx" --readFilesIn "$DATA/reads_se.fastq" \
 find "$GOLD" -name "_STARtmp" -type d -exec rm -rf {} + 2>/dev/null || true
 find "$GOLD" -name "Log.progress.out" -delete || true
 find "$GOLD" -name "Log.out" -delete || true
+
+# 8. GeneCounts quantification
+rm -rf "$GOLD/se_quant"; mkdir -p "$GOLD/se_quant"
+$STAR --genomeDir "$GOLD/genome_idx_gtf" --readFilesIn "$DATA/reads_se.fastq" \
+      --runThreadN 1 --outFileNamePrefix "$GOLD/se_quant/" --outSAMunmapped Within \
+      --quantMode GeneCounts > /dev/null
+find "$GOLD" -name "_STARtmp" -type d -exec rm -rf {} + 2>/dev/null || true
+find "$GOLD" -name "Log.progress.out" -delete || true
+find "$GOLD" -name "Log.out" -delete || true
