@@ -68,6 +68,8 @@ def main():
 
     # kernel-only rate: batched MMP probes/s
     import jax
+    from star_tpu.ops.jaxcfg import setup_jax_cache
+    setup_jax_cache()
     from star_tpu.ops.sa_search import DeviceIndex, make_mmp_kernel
     di = DeviceIndex.build(gi, ql=128)
     kern = make_mmp_kernel(di)

@@ -1,0 +1,391 @@
+"""BAM output: BGZF writer + binary record encoding + coordinate sort.
+
+Record field semantics mirror the reference emitter exactly (reference:
+source/ReadAlign_alignBAM.cpp record layout, source/BAMfunctions.h attribute
+int-width selection, source/BAMfunctions.cpp reg2bin/header) so decompressed
+record streams are byte-comparable; BGZF block boundaries/compression level
+are our own (compressed bytes may differ, content does not).
+Coordinate sorting replaces the reference's genome-bin spill files + per-bin
+qsort (reference: BAMoutput.cpp, bamSortByCoordinate.cpp) with an in-memory
+key sort; same output order.
+"""
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import List, Optional
+
+from ..constants import SJ_SAM_ANNOTATED_MOTIF_SHIFT
+from .sam import _mapq, revcomp_str
+
+BAM_MAGIC = b"BAM\x01"
+
+# 4-bit nucleotide codes '=ACMGRSVTWYHKDBN'
+_NT4 = {"A": 1, "C": 2, "G": 4, "T": 8, "N": 15, "=": 0}
+
+
+class BgzfWriter:
+    """minimal BGZF (blocked gzip) writer with the standard EOF marker"""
+
+    MAX_BLOCK = 0xFF00
+
+    def __init__(self, path: str, level: int = 6):
+        self.f = open(path, "wb")
+        self.level = level
+        self.buf = bytearray()
+
+    def write(self, data: bytes):
+        self.buf += data
+        while len(self.buf) >= self.MAX_BLOCK:
+            self._flush_block(self.buf[:self.MAX_BLOCK])
+            del self.buf[:self.MAX_BLOCK]
+
+    def _flush_block(self, payload):
+        co = zlib.compressobj(self.level, zlib.DEFLATED, -15)
+        cdata = co.compress(bytes(payload)) + co.flush()
+        crc = zlib.crc32(bytes(payload)) & 0xFFFFFFFF
+        bsize = len(cdata) + 25 + 1
+        header = (b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff"
+                  + struct.pack("<HHHH", 6, 0x4342, 2, bsize - 1))
+        self.f.write(header + cdata + struct.pack("<II", crc, len(payload)))
+
+    def close(self):
+        if self.buf:
+            self._flush_block(self.buf)
+            self.buf = bytearray()
+        # EOF marker block
+        self.f.write(bytes.fromhex(
+            "1f8b08040000000000ff0600424302001b0003000000000000000000"))
+        self.f.close()
+
+
+def reg2bin(beg: int, end: int) -> int:
+    end -= 1
+    if beg >> 14 == end >> 14:
+        return ((1 << 15) - 1) // 7 + (beg >> 14)
+    if beg >> 17 == end >> 17:
+        return ((1 << 12) - 1) // 7 + (beg >> 17)
+    if beg >> 20 == end >> 20:
+        return ((1 << 9) - 1) // 7 + (beg >> 20)
+    if beg >> 23 == end >> 23:
+        return ((1 << 6) - 1) // 7 + (beg >> 23)
+    if beg >> 26 == end >> 26:
+        return ((1 << 3) - 1) // 7 + (beg >> 26)
+    return 0
+
+
+def pack_seq(seq: str) -> bytes:
+    out = bytearray((len(seq) + 1) // 2)
+    for i, ch in enumerate(seq):
+        code = _NT4.get(ch, 15)
+        if i % 2 == 0:
+            out[i // 2] = code << 4
+        else:
+            out[i // 2] |= code
+    return bytes(out)
+
+
+def attr_int(tag: str, x: int) -> bytes:
+    """samtools-style smallest-width integer attribute"""
+    t = tag.encode()
+    if x < 0:
+        if x >= -127:
+            return t + b"c" + struct.pack("<b", x)
+        if x >= -32767:
+            return t + b"s" + struct.pack("<h", x)
+        return t + b"i" + struct.pack("<i", x)
+    if x <= 255:
+        return t + b"C" + struct.pack("<B", x)
+    if x <= 65535:
+        return t + b"S" + struct.pack("<H", x)
+    return t + b"I" + struct.pack("<I", x)
+
+
+def attr_char(tag: str, c: str) -> bytes:
+    return tag.encode() + b"A" + c.encode()
+
+
+def attr_str(tag: str, s: str) -> bytes:
+    return tag.encode() + b"Z" + s.encode() + b"\x00"
+
+
+def attr_array(tag: str, typ: str, vals) -> bytes:
+    fmt = {"c": "<b", "C": "<B", "s": "<h", "S": "<H", "i": "<i", "I": "<I"}[typ]
+    out = tag.encode() + b"B" + typ.encode() + struct.pack("<i", len(vals))
+    for v in vals:
+        out += struct.pack(fmt, int(v))
+    return out
+
+
+def bam_header_bytes(gi, P, cmd_line: str = "", chr_names=None, chr_lens=None) -> bytes:
+    from .sam import sam_header
+    text = sam_header(gi, P, cmd_line).encode()
+    names = chr_names if chr_names is not None else gi.chr_name
+    lens = chr_lens if chr_lens is not None else [int(x) for x in gi.chr_length]
+    out = BAM_MAGIC + struct.pack("<i", len(text)) + text
+    out += struct.pack("<i", len(names))
+    for n, l in zip(names, lens):
+        nb = n.encode() + b"\x00"
+        out += struct.pack("<i", len(nb)) + nb + struct.pack("<i", int(l))
+    return out
+
+
+def _cigar_ops(tr, imate, i_ex_mate, left_mate, res):
+    """numeric CIGAR ops [(op,len)] for one mate; ops MIDNSHP=X -> 0..8"""
+    read_length = res.read_length
+    i_ex1 = 0 if imate == 0 else i_ex_mate + 1
+    i_ex2 = i_ex_mate if imate == 0 else tr.nExons - 1
+    mate = tr.exons[i_ex1][3]
+    ops = []
+    trim_l = 0
+    trim_l1 = trim_l + tr.exons[i_ex1][0] - (
+        0 if tr.exons[i_ex1][0] < read_length[left_mate] else read_length[left_mate] + 1)
+    if trim_l1 > 0:
+        ops.append((4, trim_l1))
+    for ii in range(i_ex1, i_ex2 + 1):
+        if ii > i_ex1:
+            gap_g = tr.exons[ii][1] - (tr.exons[ii - 1][1] + tr.exons[ii - 1][2])
+            gap_r = tr.exons[ii][0] - tr.exons[ii - 1][0] - tr.exons[ii - 1][2]
+            if gap_r > 0:
+                ops.append((1, gap_r))
+            if tr.canonSJ[ii - 1] >= 0 or tr.sjAnnot[ii - 1] == 1:
+                ops.append((3, gap_g))
+            elif gap_g > 0:
+                ops.append((2, gap_g))
+        ops.append((0, tr.exons[ii][2]))
+    trim_r1 = (read_length[left_mate] if tr.exons[i_ex1][0] < read_length[left_mate]
+               else read_length[left_mate] + 1 + read_length[mate]) \
+        - tr.exons[i_ex2][0] - tr.exons[i_ex2][2] - trim_l
+    if trim_r1 > 0:
+        ops.append((4, trim_r1))
+    return ops, i_ex1, i_ex2, mate
+
+
+def encode_mapped(tr, res, n_tr_out, i_tr, gi, P) -> List[bytes]:
+    """binary records for all mates of one mapped alignment"""
+    from .sam import _nm_md
+    n_mates_read = len(res.seqs)
+    flag_paired = n_mates_read == 2
+    lread = res.lread
+
+    i_ex_mate = tr.nExons - 1
+    n_mates = 1
+    for i in range(tr.nExons - 1):
+        if tr.canonSJ[i] == -3:
+            i_ex_mate = i
+            n_mates = 2
+            break
+
+    sam_flag_common = 0
+    if flag_paired:
+        sam_flag_common = 0x1
+        if i_ex_mate == tr.nExons - 1:
+            sam_flag_common += 0x8
+        else:
+            if (P.alignEndsProtrudeConcordant
+                or (tr.exons[0][1] <= tr.exons[i_ex_mate + 1][1] + tr.exons[0][0]
+                    and tr.exons[i_ex_mate][1] + tr.exons[i_ex_mate][2]
+                    <= tr.exons[-1][1] + lread - tr.exons[-1][0])):
+                sam_flag_common += 0x2
+
+    Str = tr.Str
+    left_mate = Str if flag_paired else 0
+    chr_start = int(gi.chr_start[tr.Chr])
+    out = []
+    for imate in range(n_mates):
+        sam_flag = sam_flag_common
+        ops, i_ex1, i_ex2, mate = _cigar_ops(tr, imate, i_ex_mate, left_mate, res)
+        if mate == 0:
+            sam_flag |= Str * 0x10
+            if n_mates == 2:
+                sam_flag |= (1 - Str) * 0x20
+        else:
+            sam_flag |= (1 - Str) * 0x10
+            if n_mates == 2:
+                sam_flag |= Str * 0x20
+        if flag_paired:
+            sam_flag |= 0x40 if mate == 0 else 0x80
+        if not tr.primaryFlag:
+            sam_flag |= 0x100
+
+        if mate == Str:
+            seq_out = res.seqs[mate]
+            qual_out = res.quals[mate]
+        else:
+            seq_out = revcomp_str(res.seqs[mate])
+            qual_out = res.quals[mate][::-1]
+
+        mapq = _mapq(n_tr_out, P)
+        pos = tr.exons[i_ex1][1] - chr_start
+        end = tr.exons[i_ex2][1] + tr.exons[i_ex2][2] - chr_start
+        name = res.name.encode() + b"\x00"
+
+        if n_mates > 1:
+            next_ref = tr.Chr
+            next_pos = tr.exons[i_ex_mate + 1 if imate == 0 else 0][1] - chr_start
+            tlen = tr.exons[-1][1] + tr.exons[-1][2] - tr.exons[0][1]
+            tlen = tlen if imate == 0 else -tlen
+        else:
+            next_ref = -1
+            next_pos = -1
+            tlen = 0
+
+        # attributes
+        attrs = b""
+        sj_motif, sj_intron = _sj_arrays(tr, i_ex1, i_ex2, gi, chr_start)
+        tag_nm = tag_md = None
+        for attr in P.samAttrOrder:
+            if attr == "NH":
+                attrs += attr_int("NH", n_tr_out)
+            elif attr == "HI":
+                attrs += attr_int("HI", i_tr + P.outSAMattrIHstart)
+            elif attr == "AS":
+                attrs += attr_int("AS", tr.maxScore)
+            elif attr == "nM":
+                attrs += attr_int("nM", tr.nMM)
+            elif attr == "jM":
+                attrs += attr_array("jM", "c", sj_motif)
+            elif attr == "jI":
+                attrs += attr_array("jI", "i", sj_intron)
+            elif attr == "XS":
+                if tr.sjMotifStrand == 1:
+                    attrs += attr_char("XS", "+")
+                elif tr.sjMotifStrand == 2:
+                    attrs += attr_char("XS", "-")
+            elif attr in ("NM", "MD"):
+                if tag_nm is None:
+                    tag_nm, tag_md = _nm_md(tr, i_ex1, i_ex2, res, gi)
+                attrs += attr_int("NM", tag_nm) if attr == "NM" else attr_str("MD", tag_md)
+            elif attr == "MC" and n_mates > 1:
+                mops = _cigar_ops(tr, 1 - imate, i_ex_mate, left_mate, res)[0]
+                mc = "".join(f"{l}{'MIDNSHP=X'[op]}" for op, l in mops)
+                attrs += attr_str("MC", mc)
+
+        flag_final = (sam_flag & P.outSAMflagAND) | P.outSAMflagOR
+        core = struct.pack(
+            "<iiIIiiii",
+            tr.Chr, pos,
+            (reg2bin(pos, end) << 16) | (mapq << 8) | len(name),
+            (flag_final << 16) | len(ops),
+            len(seq_out), next_ref, next_pos, tlen)
+        rec = core + name
+        for op, ln in ops:
+            rec += struct.pack("<I", (ln << 4) | op)
+        rec += pack_seq(seq_out)
+        if res.read_file_type == 2 and P.outSAMmode != "NoQS":
+            rec += bytes(ord(c) - 33 for c in qual_out)
+        else:
+            rec += b"\xff" * len(seq_out)
+        rec += attrs
+        out.append((struct.pack("<I", len(rec)) + rec, tr.Chr, pos, imate))
+    return out
+
+
+def _sj_arrays(tr, i_ex1, i_ex2, gi, chr_start):
+    sj_motif = []
+    sj_intron = []
+    for ii in range(i_ex1 + 1, i_ex2 + 1):
+        if tr.canonSJ[ii - 1] >= 0 or tr.sjAnnot[ii - 1] == 1:
+            sj_motif.append(tr.canonSJ[ii - 1]
+                            + (0 if tr.sjAnnot[ii - 1] == 0 else SJ_SAM_ANNOTATED_MOTIF_SHIFT))
+            sj_intron.append(tr.exons[ii - 1][1] + tr.exons[ii - 1][2] + 1 - chr_start)
+            sj_intron.append(tr.exons[ii][1] - chr_start)
+    if not sj_motif:
+        return [-1], [-1]
+    return sj_motif, sj_intron
+
+
+def encode_unmapped(res, gi, P, mate_mapped) -> List[bytes]:
+    tb = res.tr_best
+    n_mates = len(res.seqs)
+    out = []
+    for imate in range(n_mates):
+        if mate_mapped[imate]:
+            continue
+        flag = 0x4
+        if n_mates == 2:
+            flag |= 0x1 + (0x40 if imate == 0 else 0x80)
+            if mate_mapped[1 - imate]:
+                if tb.Str != 1 - imate:
+                    flag |= 0x20
+            else:
+                flag |= 0x8
+        if mate_mapped[1 - imate] and not tb.primaryFlag and P.outSAMunmappedKeepPairs:
+            flag |= 0x100
+        name = res.name.encode() + b"\x00"
+        if mate_mapped[1 - imate]:
+            ref = tb.Chr
+            pos = tb.exons[0][1] - int(gi.chr_start[tb.Chr])
+        else:
+            ref = -1
+            pos = -1
+        seq = res.seqs[imate]
+        attrs = (attr_int("NH", 0) + attr_int("HI", 0)
+                 + attr_int("AS", tb.maxScore) + attr_int("nM", tb.nMM)
+                 + attr_char("uT", str(res.unmap_type)))
+        core = struct.pack(
+            "<iiIIiiii", -1, -1,
+            (reg2bin(-1, 0) << 16) | len(name),
+            (flag << 16) | 0, len(seq), ref, pos, 0)
+        rec = core + name + pack_seq(seq)
+        if res.read_file_type == 2:
+            rec += bytes(ord(c) - 33 for c in res.quals[imate])
+        else:
+            rec += b"\xff" * len(seq)
+        rec += attrs
+        out.append((struct.pack("<I", len(rec)) + rec, 1 << 30, 1 << 30, imate))
+    return out
+
+
+class BamCollector:
+    """collects records for unsorted and/or coordinate-sorted output"""
+
+    def __init__(self, gi, P, prefix: str):
+        self.gi = gi
+        self.P = P
+        self.unsorted = BgzfWriter(prefix + "Aligned.out.bam") if P.outBAMunsorted else None
+        self.coord = [] if P.outBAMcoord else None
+        self.coord_path = prefix + "Aligned.sortedByCoord.out.bam"
+        hdr = bam_header_bytes(gi, P)
+        if self.unsorted:
+            self.unsorted.write(hdr)
+        self._hdr = hdr
+        self.i_read = 0
+
+    def add_read(self, res):
+        P, gi = self.P, self.gi
+        recs = []
+        if res.unmap_type < 0:
+            n_out = min(res.n_tr if P.outSAMmultNmax == -1 else P.outSAMmultNmax, res.n_tr)
+            mate_mapped = [False, False]
+            for i_tr in range(n_out):
+                recs += [(r, c, p, (self.i_read << 16) | (i_tr << 2) | m)
+                         for (r, c, p, m) in encode_mapped(
+                             res.transcripts[i_tr], res, res.n_tr, i_tr, gi, P)]
+            tb = res.tr_best
+            mate_mapped[tb.exons[0][3]] = True
+            mate_mapped[tb.exons[-1][3]] = True
+            if len(res.seqs) > 1 and not all(mate_mapped[:len(res.seqs)]):
+                if P.outSAMunmappedWithin:
+                    recs += [(r, c, p, (self.i_read << 16) | 0xFFFF)
+                             for (r, c, p, m) in encode_unmapped(res, gi, P, mate_mapped)]
+        elif P.outSAMunmappedWithin:
+            recs += [(r, c, p, (self.i_read << 16) | 0xFFFF)
+                     for (r, c, p, m) in encode_unmapped(res, gi, P, [False, False])]
+        self.i_read += 1
+        for (r, c, p, key) in recs:
+            if self.unsorted:
+                self.unsorted.write(r)
+            if self.coord is not None:
+                self.coord.append((c, p, key, r))
+
+    def finish(self):
+        if self.unsorted:
+            self.unsorted.close()
+        if self.coord is not None:
+            self.coord.sort(key=lambda t: (t[0], t[1], t[2]))
+            w = BgzfWriter(self.coord_path)
+            w.write(self._hdr)
+            for (_, _, _, r) in self.coord:
+                w.write(r)
+            w.close()

@@ -18,6 +18,7 @@ import numpy as np
 
 from ..align.engine import ReadAligner, ReadResult
 from ..align.seed import SeedResult, quality_split, store_align
+from .jaxcfg import setup_jax_cache
 from .sa_search import DeviceIndex, make_mmp_kernel
 
 
@@ -50,6 +51,7 @@ class DeviceAligner:
         self._ql = None
 
     def _ensure_kernel(self, max_read_len: int):
+        setup_jax_cache()
         ql = ((max_read_len + 2 + 127) // 128) * 128
         if self.di is None or ql > self._ql:
             self.di = DeviceIndex.build(self.gi, ql=ql)
@@ -152,8 +154,9 @@ class DeviceAligner:
         QL = self._ql
         seed_map_min = P.seedMapMin
         # pad dispatches to a fixed lane count so every round (and most
-        # batches) reuse one compiled executable
-        lanes = 1 << max(6, (len(chains) - 1).bit_length())
+        # batches) reuse one compiled executable; coarse buckets keep the
+        # number of distinct compiled shapes tiny (remote compiles are costly)
+        lanes = 2048 if len(chains) <= 2048 else ((len(chains) + 8191) // 8192) * 8192
         max_rounds = 64
         for _ in range(max_rounds):
             act = [c for c in chains if c.active]

@@ -140,6 +140,11 @@ def _run_mapping(P: Parameters, gi: GenomeIndex, use_device=None) -> RunStats:
     sj1 = SJCollector(P, gi)    # BySJout stage-1 records (all reads)
     sam_lines: List[str] = []
 
+    bam = None
+    if P.outBAMunsorted or P.outBAMcoord:
+        from .io.bam import BamCollector
+        bam = BamCollector(gi, P, prefix)
+
     gene_counts = None
     if P.quantModeGeneCounts:
         from .quant.transcriptome import Transcriptome, GeneCounts
@@ -163,6 +168,8 @@ def _run_mapping(P: Parameters, gi: GenomeIndex, use_device=None) -> RunStats:
             stats.add_mapped(res)
             if gene_counts is not None:
                 gene_counts.add_read(res.transcripts, res.n_tr)
+        if bam is not None:
+            bam.add_read(res)
         write_read_sam(res, gi, P, sam_lines)
         if res.unmap_type >= 0:
             stats.add_unmapped(res)
@@ -215,6 +222,8 @@ def _run_mapping(P: Parameters, gi: GenomeIndex, use_device=None) -> RunStats:
             for line in sam_lines:
                 if line:
                     f.write(line + "\n")
+    if bam is not None:
+        bam.finish()
     if P.outSJtype == "Standard":
         sj.write(prefix + "SJ.out.tab")
     if gene_counts is not None:

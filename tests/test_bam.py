@@ -1,0 +1,46 @@
+"""BAM output: decompressed record streams must match the reference BAMs
+byte-for-byte (both unsorted and coordinate-sorted)."""
+import gzip
+import os
+import struct
+
+import pytest
+
+from tests.conftest import DATA, GOLD
+
+
+def read_bam_records(path):
+    data = gzip.decompress(open(path, "rb").read())
+    assert data[:4] == b"BAM\x01"
+    lt = struct.unpack("<i", data[4:8])[0]
+    off = 8 + lt
+    nref = struct.unpack("<i", data[off:off + 4])[0]
+    off += 4
+    refs = []
+    for _ in range(nref):
+        ln = struct.unpack("<i", data[off:off + 4])[0]
+        refs.append(data[off + 4:off + 4 + ln - 1].decode())
+        off += 4 + ln + 4
+    recs = []
+    while off < len(data):
+        sz = struct.unpack("<I", data[off:off + 4])[0]
+        recs.append(data[off + 4:off + 4 + sz])
+        off += 4 + sz
+    return refs, recs
+
+
+def test_bam_golden_se(tmp_path, genome_index):
+    from star_tpu.params import Parameters
+    from star_tpu.run import align_reads
+    prefix = str(tmp_path) + "/"
+    P = Parameters(["--genomeDir", os.path.join(GOLD, "genome_idx"),
+                    "--readFilesIn", os.path.join(DATA, "reads_se.fastq"),
+                    "--outFileNamePrefix", prefix,
+                    "--outSAMunmapped", "Within",
+                    "--outSAMtype", "BAM", "Unsorted", "SortedByCoordinate"])
+    align_reads(P, gi=genome_index, use_device=False)
+    for fn in ["Aligned.out.bam", "Aligned.sortedByCoord.out.bam"]:
+        refs_a, mine = read_bam_records(prefix + fn)
+        refs_b, want = read_bam_records(os.path.join(GOLD, "se_bam", fn))
+        assert refs_a == refs_b
+        assert mine == want, fn

@@ -66,3 +66,11 @@ $STAR --genomeDir "$GOLD/genome_idx_gtf" --readFilesIn "$DATA/reads_se.fastq" \
 find "$GOLD" -name "_STARtmp" -type d -exec rm -rf {} + 2>/dev/null || true
 find "$GOLD" -name "Log.progress.out" -delete || true
 find "$GOLD" -name "Log.out" -delete || true
+
+# 9. BAM outputs
+rm -rf "$GOLD/se_bam"; mkdir -p "$GOLD/se_bam"
+$STAR --genomeDir "$GOLD/genome_idx" --readFilesIn "$DATA/reads_se.fastq" \
+      --runThreadN 1 --outFileNamePrefix "$GOLD/se_bam/" --outSAMunmapped Within \
+      --outSAMtype BAM Unsorted SortedByCoordinate > /dev/null
+find "$GOLD" -name "_STARtmp" -type d -exec rm -rf {} + 2>/dev/null || true
+find "$GOLD" -name "Log.out" -delete || true
