@@ -40,6 +40,9 @@ class ReadResult:
     read_length: List[int] = field(default_factory=list)
     lread: int = 0
     read_file_type: int = 2  # fastq
+    all_win_tr: list = field(default_factory=list)
+    read1 = None
+    read1rc = None
 
 
 class ReadAligner:
@@ -169,6 +172,9 @@ class ReadAligner:
             return res
 
         res.tr_best = tr_best
+        res.all_win_tr = all_win_tr
+        res.read1 = reads[0]
+        res.read1rc = reads[2]
 
         # ---- multimapper selection (reference multMapSelect)
         max_score = max(w[0].maxScore for w in all_win_tr)

@@ -176,7 +176,10 @@ _DEFS: List[ParamDef] = [d for d in [
     ParamDef("chimScoreDropMax", "int", 20),
     ParamDef("chimScoreSeparation", "int", 10),
     ParamDef("chimScoreJunctionNonGTAG", "int", -1),
-    ParamDef("chimMainSegmentMultNmax", "int", -1),
+    ParamDef("chimMainSegmentMultNmax", "int", 10),
+    ParamDef("chimSegmentReadGapMax", "int", 0),
+    ParamDef("chimFilter", "str_list", ["banGenomicN"]),
+    ParamDef("chimOutJunctionFormat", "int", 0),
     ParamDef("chimJunctionOverhangMin", "int", 20),
     ParamDef("chimOutType", "str_list", ["Junctions"]),
     ParamDef("chimMultimapNmax", "int", 0),
@@ -290,6 +293,11 @@ class Parameters:
         self.quantModeGeneCounts = "GeneCounts" in self.quantMode
         self.quantModeTrSAM = "TranscriptomeSAM" in self.quantMode
         self.twopassYes = self.twopassMode == "Basic"
+        self.chimMainSegmentMultNmaxEff = self.chimMainSegmentMultNmax
+        self.chimFilterGenomicN = "banGenomicN" in self.chimFilter
+        self.chimOutTypeJunctions = "Junctions" in self.chimOutType
+        self.chimOutTypeSAMold = "SeparateSAMold" in self.chimOutType
+        self.chimOutTypeWithinBAM = "WithinBAM" in self.chimOutType
         self.soloTypeYes = self.soloType[0] != "None"
         return self
 

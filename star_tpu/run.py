@@ -157,12 +157,29 @@ def _run_mapping(P: Parameters, gi: GenomeIndex, use_device=None) -> RunStats:
     by_sjout = P.outFilterBySJoutStage == 1
     held = []
 
+    chim_stream = None
+    chim_lines = []
+    if P.chimSegmentMin > 0 and P.outFilterBySJoutStage <= 1:
+        from .align.chimeric import detect_chimeric_old, align_score, junction_line
+        chim_stream = (detect_chimeric_old, align_score, junction_line)
+
     unmapped_streams = None
     if P.outReadsUnmapped == "Fastx":
         unmapped_streams = [open(prefix + f"Unmapped.out.mate{i+1}", "w")
                             for i in range(P.readNmates)]
 
     def emit(res, aligner):
+        # chimeric detection runs for every read with windows, including
+        # reads failing the linear filters (reference: oneRead order)
+        if chim_stream is not None and getattr(res, "read1", None) is not None:
+            detect, ascore, jline = chim_stream
+            chim = detect(res, res.all_win_tr, bytes(res.read1), gi, P)
+            if chim is not None:
+                stats.chimeric_all += 1
+                for t in chim.tr:
+                    ascore(t, bytes(res.read1), bytes(res.read1rc), gi, P)
+                if P.chimOutTypeJunctions:
+                    chim_lines.append(jline(chim, res, gi, P))
         if res.unmap_type < 0:
             sj.add_read(res.transcripts, res.n_tr)
             stats.add_mapped(res)
@@ -230,6 +247,14 @@ def _run_mapping(P: Parameters, gi: GenomeIndex, use_device=None) -> RunStats:
         n_unmapped = (stats.unmapped_mm + stats.unmapped_short
                       + stats.unmapped_other + stats.unmapped_multi)
         gene_counts.write(prefix + "ReadsPerGene.out.tab", n_unmapped)
+    if chim_stream is not None and P.chimOutTypeJunctions:
+        with open(prefix + "Chimeric.out.junction", "w") as f:
+            if P.chimOutJunctionFormat == 1:
+                f.write("chr_donorA\tbrkpt_donorA\tstrand_donorA\tchr_acceptorB\tbrkpt_acceptorB\tstrand_acceptorB\tjunction_type\trepeat_left_lenA\trepeat_right_lenB\tread_name\tstart_alnA\tcigar_alnA\tstart_alnB\tcigar_alnB\n")
+            for l in chim_lines:
+                f.write(l + "\n")
+            if P.chimOutJunctionFormat == 1:
+                f.write(f"# Nreads {stats.read_n}\tNreadsUnique {stats.mapped_reads_u}\tNreadsMulti {stats.mapped_reads_m}\n")
     with open(prefix + "Log.final.out", "w") as f:
         f.write(stats.report_final())
     return stats

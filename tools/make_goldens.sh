@@ -74,3 +74,11 @@ $STAR --genomeDir "$GOLD/genome_idx" --readFilesIn "$DATA/reads_se.fastq" \
       --outSAMtype BAM Unsorted SortedByCoordinate > /dev/null
 find "$GOLD" -name "_STARtmp" -type d -exec rm -rf {} + 2>/dev/null || true
 find "$GOLD" -name "Log.out" -delete || true
+
+# 10. chimeric detection
+rm -rf "$GOLD/se_chim"; mkdir -p "$GOLD/se_chim"
+$STAR --genomeDir "$GOLD/genome_idx" --readFilesIn "$DATA/reads_chim.fastq" \
+      --runThreadN 1 --outFileNamePrefix "$GOLD/se_chim/" --outSAMunmapped Within \
+      --chimSegmentMin 12 > /dev/null
+find "$GOLD" -name "_STARtmp" -type d -exec rm -rf {} + 2>/dev/null || true
+find "$GOLD" -name "Log.out" -delete || true
