@@ -56,12 +56,15 @@ def write_read_sam(res: ReadResult, gi, P, out: List[str]):
         tb = res.tr_best
         mate_mapped[tb.exons[0][3]] = True
         mate_mapped[tb.exons[-1][3]] = True
+        res.mate_mapped = mate_mapped
         if n_mates > 1 and not (mate_mapped[0] and mate_mapped[1]):
             res.unmap_type = 4
             if P.outSAMunmappedWithin:
                 out.append(unmapped_sam(res, gi, P, mate_mapped))
-    elif P.outSAMunmappedWithin:
-        out.append(unmapped_sam(res, gi, P, [False, False]))
+    else:
+        res.mate_mapped = [False, False]
+        if P.outSAMunmappedWithin:
+            out.append(unmapped_sam(res, gi, P, [False, False]))
 
 
 def unmapped_sam(res: ReadResult, gi, P, mate_mapped) -> str:

@@ -170,6 +170,14 @@ _DEFS: List[ParamDef] = [d for d in [
     ParamDef("twopass1readsN", "int", -1),
     # quant
     ParamDef("quantMode", "str_list", ["-"]),
+    ParamDef("quantTranscriptomeBan", "str", "IndelSoftclipSingleend"),
+    # signal output
+    ParamDef("outWigType", "str_list", ["None"]),
+    ParamDef("outWigStrand", "str", "Stranded"),
+    ParamDef("outWigNorm", "str", "RPM"),
+    ParamDef("outWigReferencesPrefix", "str", "-"),
+    ParamDef("inputBAMfile", "str", "-"),
+    ParamDef("bamRemoveDuplicatesType", "str", "-"),
     # chimeric
     ParamDef("chimSegmentMin", "int", 0),
     ParamDef("chimScoreMin", "int", 0),

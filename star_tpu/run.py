@@ -191,12 +191,12 @@ def _run_mapping(P: Parameters, gi: GenomeIndex, use_device=None) -> RunStats:
         if res.unmap_type >= 0:
             stats.add_unmapped(res)
             if unmapped_streams is not None:
-                mm = ""
-                if len(res.seqs) > 1:
-                    mm = f" {int(res.mate_mapped[0] if hasattr(res,'mate_mapped') else 0)}{int(0)}"
+                # reference format: "@name <mate>:<filter>: <extra>[ <m0><m1>]"
+                mm = getattr(res, "mate_mapped", [False, False])
+                suffix = (f" {int(mm[0])}{int(mm[1])}" if len(res.seqs) > 1 else "")
                 for im in range(len(res.seqs)):
                     unmapped_streams[im].write(
-                        f"@{res.name} {im}:N:{mm}\n{res.seqs[im]}\n+\n{res.quals[im]}\n")
+                        f"@{res.name} {im}:N: {suffix}\n{res.seqs[im]}\n+\n{res.quals[im]}\n")
 
     aligner_holder = {}
 
@@ -241,6 +241,10 @@ def _run_mapping(P: Parameters, gi: GenomeIndex, use_device=None) -> RunStats:
                     f.write(line + "\n")
     if bam is not None:
         bam.finish()
+        if P.outWigType[0] != "None" and P.outBAMcoord:
+            from .io.signal import signal_from_bam
+            signal_from_bam(prefix + "Aligned.sortedByCoord.out.bam",
+                            prefix + "Signal", P)
     if P.outSJtype == "Standard":
         sj.write(prefix + "SJ.out.tab")
     if gene_counts is not None:
@@ -293,6 +297,10 @@ def main(argv=None):
     P = Parameters(argv)
     if "genomeGenerate" in P.runMode:
         genome_generate(P)
+    elif "inputAlignmentsFromBAM" in P.runMode:
+        if P.outWigType[0] != "None":
+            from .io.signal import signal_from_bam
+            signal_from_bam(P.inputBAMfile, P.outFileNamePrefix + "Signal", P)
     else:
         align_reads(P)
 

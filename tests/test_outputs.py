@@ -1,0 +1,35 @@
+"""Signal (wiggle/bedGraph) and Unmapped Fastx outputs vs goldens."""
+import glob
+import os
+
+from tests.conftest import DATA, GOLD
+
+
+def test_signal_bedgraph_golden(tmp_path, genome_index):
+    from star_tpu.params import Parameters
+    from star_tpu.run import align_reads
+    prefix = str(tmp_path) + "/"
+    P = Parameters(["--genomeDir", os.path.join(GOLD, "genome_idx"),
+                    "--readFilesIn", os.path.join(DATA, "reads_se.fastq"),
+                    "--outFileNamePrefix", prefix,
+                    "--outSAMtype", "BAM", "SortedByCoordinate",
+                    "--outWigType", "bedGraph"])
+    align_reads(P, gi=genome_index, use_device=False)
+    for f in sorted(glob.glob(os.path.join(GOLD, "se_wig", "Signal*"))):
+        with open(prefix + os.path.basename(f)) as a, open(f) as b:
+            assert a.read() == b.read(), f
+
+
+def test_unmapped_fastx_golden(tmp_path, genome_index):
+    from star_tpu.params import Parameters
+    from star_tpu.run import align_reads
+    prefix = str(tmp_path) + "/"
+    P = Parameters(["--genomeDir", os.path.join(GOLD, "genome_idx"),
+                    "--readFilesIn", os.path.join(DATA, "reads_pe_1.fastq"),
+                    os.path.join(DATA, "reads_pe_2.fastq"),
+                    "--outFileNamePrefix", prefix,
+                    "--outReadsUnmapped", "Fastx"])
+    align_reads(P, gi=genome_index, use_device=False)
+    for f in sorted(glob.glob(os.path.join(GOLD, "pe_unm", "Unmapped*"))):
+        with open(prefix + os.path.basename(f)) as a, open(f) as b:
+            assert a.read() == b.read(), f

@@ -82,3 +82,14 @@ $STAR --genomeDir "$GOLD/genome_idx" --readFilesIn "$DATA/reads_chim.fastq" \
       --chimSegmentMin 12 > /dev/null
 find "$GOLD" -name "_STARtmp" -type d -exec rm -rf {} + 2>/dev/null || true
 find "$GOLD" -name "Log.out" -delete || true
+
+# 11. signal + unmapped fastx
+rm -rf "$GOLD/se_wig" "$GOLD/se_unm" "$GOLD/pe_unm"; mkdir -p "$GOLD/se_wig" "$GOLD/se_unm" "$GOLD/pe_unm"
+$STAR --genomeDir "$GOLD/genome_idx" --readFilesIn "$DATA/reads_se.fastq" --runThreadN 1 \
+      --outFileNamePrefix "$GOLD/se_wig/" --outSAMtype BAM SortedByCoordinate --outWigType bedGraph > /dev/null
+$STAR --genomeDir "$GOLD/genome_idx" --readFilesIn "$DATA/reads_se.fastq" --runThreadN 1 \
+      --outFileNamePrefix "$GOLD/se_unm/" --outReadsUnmapped Fastx > /dev/null
+$STAR --genomeDir "$GOLD/genome_idx" --readFilesIn "$DATA/reads_pe_1.fastq" "$DATA/reads_pe_2.fastq" --runThreadN 1 \
+      --outFileNamePrefix "$GOLD/pe_unm/" --outReadsUnmapped Fastx > /dev/null
+find "$GOLD" -name "_STARtmp" -type d -exec rm -rf {} + 2>/dev/null || true
+find "$GOLD" -name "Log.out" -delete; find "$GOLD" -name "Log.progress.out" -delete || true
