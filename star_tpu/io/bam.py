@@ -119,7 +119,12 @@ def attr_array(tag: str, typ: str, vals) -> bytes:
 
 def bam_header_bytes(gi, P, cmd_line: str = "", chr_names=None, chr_lens=None) -> bytes:
     from .sam import sam_header
-    text = sam_header(gi, P, cmd_line).encode()
+    if gi is None:
+        text = b"@HD\tVN:1.4\n" + b"".join(
+            f"@SQ\tSN:{n}\tLN:{l}\n".encode()
+            for n, l in zip(chr_names, chr_lens))
+    else:
+        text = sam_header(gi, P, cmd_line).encode()
     names = chr_names if chr_names is not None else gi.chr_name
     lens = chr_lens if chr_lens is not None else [int(x) for x in gi.chr_length]
     out = BAM_MAGIC + struct.pack("<i", len(text)) + text
@@ -161,7 +166,7 @@ def _cigar_ops(tr, imate, i_ex_mate, left_mate, res):
     return ops, i_ex1, i_ex2, mate
 
 
-def encode_mapped(tr, res, n_tr_out, i_tr, gi, P) -> List[bytes]:
+def encode_mapped(tr, res, n_tr_out, i_tr, gi, P, attrs_order=None) -> List[bytes]:
     """binary records for all mates of one mapped alignment"""
     from .sam import _nm_md
     n_mates_read = len(res.seqs)
@@ -234,7 +239,7 @@ def encode_mapped(tr, res, n_tr_out, i_tr, gi, P) -> List[bytes]:
         attrs = b""
         sj_motif, sj_intron = _sj_arrays(tr, i_ex1, i_ex2, gi, chr_start)
         tag_nm = tag_md = None
-        for attr in P.samAttrOrder:
+        for attr in (attrs_order if attrs_order is not None else P.samAttrOrder):
             if attr == "NH":
                 attrs += attr_int("NH", n_tr_out)
             elif attr == "HI":

@@ -300,6 +300,10 @@ class Parameters:
         self.samAttrOrder = attrs
         self.quantModeGeneCounts = "GeneCounts" in self.quantMode
         self.quantModeTrSAM = "TranscriptomeSAM" in self.quantMode
+        ban = self.quantTranscriptomeBan
+        self.quantTrSAMindel = ban == "Singleend"
+        self.quantTrSAMsoftClip = ban == "Singleend"
+        self.quantTrSAMsingleEnd = False
         self.twopassYes = self.twopassMode == "Basic"
         self.chimMainSegmentMultNmaxEff = self.chimMainSegmentMultNmax
         self.chimFilterGenomicN = "banGenomicN" in self.chimFilter

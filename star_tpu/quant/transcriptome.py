@@ -75,6 +75,14 @@ class Transcriptome:
             ex_se[1::2] = er[:, 1]
             t.ex_se = ex_se
             t.ex_len_cum = er[:, 2]
+            # transcript lengths (sum of exon lengths)
+            t.tr_length = np.zeros(len(t.tr_id), dtype=np.int64)
+            for i in range(len(t.tr_id)):
+                i0 = int(t.tr_ex_i[i])
+                n1 = int(t.tr_ex_n[i])
+                last = i0 + n1 - 1
+                t.tr_length[i] = int(t.ex_len_cum[last]
+                                     + er[last, 1] - er[last, 0] + 1)
         return t
 
     @property

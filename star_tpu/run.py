@@ -146,10 +146,23 @@ def _run_mapping(P: Parameters, gi: GenomeIndex, use_device=None) -> RunStats:
         bam = BamCollector(gi, P, prefix)
 
     gene_counts = None
-    if P.quantModeGeneCounts:
+    tr_sam = None
+    trm = None
+    if P.quantModeGeneCounts or P.quantModeTrSAM:
         from .quant.transcriptome import Transcriptome, GeneCounts
         trm = Transcriptome.load(getattr(P, "trInfoDir", P.genomeDir))
-        gene_counts = GeneCounts(trm)
+        if P.quantModeGeneCounts:
+            gene_counts = GeneCounts(trm)
+    if P.quantModeTrSAM:
+        from .quant.trsam import TrGenomeShim, quant_transcriptome
+        from .io.bam import BgzfWriter, bam_header_bytes, encode_mapped
+        from .utils.rng import MT19937
+        tr_shim = TrGenomeShim(trm)
+        tr_bam = BgzfWriter(prefix + "Aligned.toTranscriptome.out.bam")
+        tr_bam.write(bam_header_bytes(None, P, chr_names=tr_shim.chr_name,
+                                      chr_lens=[int(x) for x in tr_shim.chr_length]))
+        tr_rng = MT19937(P.runRNGseed * 1)
+        tr_sam = (quant_transcriptome, encode_mapped, tr_shim, tr_bam, tr_rng)
 
     if use_device is None:
         use_device = bool(P.tpuUseDevice)
@@ -185,6 +198,17 @@ def _run_mapping(P: Parameters, gi: GenomeIndex, use_device=None) -> RunStats:
             stats.add_mapped(res)
             if gene_counts is not None:
                 gene_counts.add_read(res.transcripts, res.n_tr)
+            if tr_sam is not None:
+                quantt, enc, shim, w, rng = tr_sam
+                mm_max = min(P.outFilterMismatchNmax,
+                             int(P.outFilterMismatchNoverReadLmax
+                                 * (res.read_length[0] + res.read_length[1])))
+                al_t = quantt(res, trm, gi, P, rng, mm_max)
+                for i_t, at in enumerate(al_t):
+                    at.roStr = 0
+                    for (r, _, _, _) in enc(at, res, len(al_t), i_t, shim, P,
+                                            attrs_order=["NH", "HI"]):
+                        w.write(r)
         if bam is not None:
             bam.add_read(res)
         write_read_sam(res, gi, P, sam_lines)
@@ -239,6 +263,8 @@ def _run_mapping(P: Parameters, gi: GenomeIndex, use_device=None) -> RunStats:
             for line in sam_lines:
                 if line:
                     f.write(line + "\n")
+    if tr_sam is not None:
+        tr_sam[3].close()
     if bam is not None:
         bam.finish()
         if P.outWigType[0] != "None" and P.outBAMcoord:

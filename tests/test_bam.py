@@ -44,3 +44,19 @@ def test_bam_golden_se(tmp_path, genome_index):
         refs_b, want = read_bam_records(os.path.join(GOLD, "se_bam", fn))
         assert refs_a == refs_b
         assert mine == want, fn
+
+
+def test_transcriptome_sam_golden(tmp_path, genome_index_gtf):
+    from star_tpu.params import Parameters
+    from star_tpu.run import align_reads
+    prefix = str(tmp_path) + "/"
+    P = Parameters(["--genomeDir", os.path.join(GOLD, "genome_idx_gtf"),
+                    "--readFilesIn", os.path.join(DATA, "reads_se.fastq"),
+                    "--outFileNamePrefix", prefix,
+                    "--quantMode", "TranscriptomeSAM"])
+    align_reads(P, gi=genome_index_gtf, use_device=False)
+    refs_a, mine = read_bam_records(prefix + "Aligned.toTranscriptome.out.bam")
+    refs_b, want = read_bam_records(
+        os.path.join(GOLD, "se_trsam", "Aligned.toTranscriptome.out.bam"))
+    assert refs_a == refs_b
+    assert mine == want

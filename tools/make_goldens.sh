@@ -93,3 +93,11 @@ $STAR --genomeDir "$GOLD/genome_idx" --readFilesIn "$DATA/reads_pe_1.fastq" "$DA
       --outFileNamePrefix "$GOLD/pe_unm/" --outReadsUnmapped Fastx > /dev/null
 find "$GOLD" -name "_STARtmp" -type d -exec rm -rf {} + 2>/dev/null || true
 find "$GOLD" -name "Log.out" -delete; find "$GOLD" -name "Log.progress.out" -delete || true
+
+# 12. TranscriptomeSAM
+rm -rf "$GOLD/se_trsam"; mkdir -p "$GOLD/se_trsam"
+$STAR --genomeDir "$GOLD/genome_idx_gtf" --readFilesIn "$DATA/reads_se.fastq" \
+      --runThreadN 1 --outFileNamePrefix "$GOLD/se_trsam/" --quantMode TranscriptomeSAM > /dev/null
+rm -f "$GOLD/se_trsam/Aligned.out.sam" "$GOLD/se_trsam/SJ.out.tab"
+find "$GOLD" -name "_STARtmp" -type d -exec rm -rf {} + 2>/dev/null || true
+find "$GOLD" -name "Log.out" -delete; find "$GOLD" -name "Log.progress.out" -delete || true
