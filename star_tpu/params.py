@@ -270,6 +270,8 @@ class Parameters:
     # -- derived ----------------------------------------------------------
     def derive(self):
         self.readNmates = 1 if (len(self.readFilesIn) < 2 or self.readFilesIn[1] in ("", "-")) else 2
+        if self.soloType[0] != "None" and self.soloType[0] != "SmartSeq":
+            self.readNmates = 1  # the barcode read is not aligned
         self.readNends = self.readNmates  # barcodes add ends later (solo)
         self.maxNsplit = 10
         self.outSAMbool = "SAM" in self.outSAMtype

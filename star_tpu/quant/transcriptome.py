@@ -67,6 +67,7 @@ class Transcriptome:
             t.tr_str = arr[:, 3].astype(np.int8)
             t.tr_ex_n = arr[:, 4].astype(np.int32)
             t.tr_ex_i = arr[:, 5].astype(np.int32)
+            t.tr_gene = arr[:, 6].astype(np.int32) if arr.shape[1] > 6 else np.zeros(len(arr), np.int32)
             with open(os.path.join(tr_info_dir, "exonInfo.tab")) as f:
                 n_ex2 = int(f.readline())
                 er = np.loadtxt(f, dtype=np.int64, max_rows=n_ex2, ndmin=2)

@@ -170,6 +170,13 @@ def _run_mapping(P: Parameters, gi: GenomeIndex, use_device=None) -> RunStats:
     by_sjout = P.outFilterBySJoutStage == 1
     held = []
 
+    solo = None
+    if P.soloTypeYes and P.soloType[0] == "CB_UMI_Simple":
+        from .quant.transcriptome import Transcriptome
+        from .solo.solo import SoloGene
+        trm_solo = Transcriptome.load(getattr(P, "trInfoDir", P.genomeDir))
+        solo = SoloGene(gi, P, trm_solo)
+
     chim_stream = None
     chim_lines = []
     if P.chimSegmentMin > 0 and P.outFilterBySJoutStage <= 1:
@@ -182,6 +189,8 @@ def _run_mapping(P: Parameters, gi: GenomeIndex, use_device=None) -> RunStats:
                             for i in range(P.readNmates)]
 
     def emit(res, aligner):
+        if solo is not None and getattr(res, "solo_bc", None) is not None:
+            solo.add_read(res, res.solo_bc[0], res.solo_bc[1])
         # chimeric detection runs for every read with windows, including
         # reads failing the linear filters (reference: oneRead order)
         if chim_stream is not None and getattr(res, "read1", None) is not None:
@@ -277,6 +286,8 @@ def _run_mapping(P: Parameters, gi: GenomeIndex, use_device=None) -> RunStats:
         n_unmapped = (stats.unmapped_mm + stats.unmapped_short
                       + stats.unmapped_other + stats.unmapped_multi)
         gene_counts.write(prefix + "ReadsPerGene.out.tab", n_unmapped)
+    if solo is not None:
+        solo.process(prefix + "Solo.out/")
     if chim_stream is not None and P.chimOutTypeJunctions:
         with open(prefix + "Chimeric.out.junction", "w") as f:
             if P.chimOutJunctionFormat == 1:
@@ -300,6 +311,39 @@ def _has_novel_junction(res) -> bool:
 
 def _align_all(P: Parameters, gi: GenomeIndex, stats: RunStats, use_device: bool,
                holder=None):
+    if P.soloTypeYes:
+        # barcode read is the last file; only the cDNA read is aligned
+        def reader_gen():
+            for name, seqs, quals, ftype in read_pairs(P.readFilesIn[:2], P.readFilesCommand):
+                yield name, seqs[:1], quals[:1], ftype, (seqs[1], quals[1])
+        def solo_reader():
+            for name, seqs, quals, ftype, bc in reader_gen():
+                yield name, seqs, quals, ftype, bc
+        reader0 = solo_reader()
+        if use_device:
+            from .ops.pipeline import DeviceAligner
+            aligner = DeviceAligner(gi, P)
+            def plain(r):
+                for name, seqs, quals, ftype, bc in r:
+                    yield name, seqs, quals, ftype
+            items = list(reader0)
+            bcs = {it[0]: it[4] for it in items}
+            for res in aligner.align_stream(plain(iter(items)), stats):
+                res.solo_bc = bcs.get(res.name)
+                yield res
+        else:
+            aligner = ReadAligner(gi, P)
+            n = 0
+            for name, seqs, quals, ftype, bc in reader0:
+                if P.readMapNumber >= 0 and n >= P.readMapNumber:
+                    break
+                res = aligner.align_read(name, seqs, quals)
+                res.read_file_type = ftype
+                res.solo_bc = bc
+                stats.add_read(res)
+                n += 1
+                yield res
+        return
     reader = read_pairs(P.readFilesIn[:P.readNmates], P.readFilesCommand)
     if use_device:
         from .ops.pipeline import DeviceAligner

@@ -101,3 +101,12 @@ $STAR --genomeDir "$GOLD/genome_idx_gtf" --readFilesIn "$DATA/reads_se.fastq" \
 rm -f "$GOLD/se_trsam/Aligned.out.sam" "$GOLD/se_trsam/SJ.out.tab"
 find "$GOLD" -name "_STARtmp" -type d -exec rm -rf {} + 2>/dev/null || true
 find "$GOLD" -name "Log.out" -delete; find "$GOLD" -name "Log.progress.out" -delete || true
+
+# 13. STARsolo
+rm -rf "$GOLD/solo"; mkdir -p "$GOLD/solo"
+$STAR --genomeDir "$GOLD/genome_idx_gtf" --readFilesIn "$DATA/solo_cdna.fastq" "$DATA/solo_bc.fastq" \
+      --runThreadN 1 --outFileNamePrefix "$GOLD/solo/" --soloType CB_UMI_Simple \
+      --soloCBwhitelist "$DATA/solo_wl.txt" --soloCBstart 1 --soloCBlen 16 \
+      --soloUMIstart 17 --soloUMIlen 12 --outSAMtype None > /dev/null
+find "$GOLD" -name "_STARtmp" -type d -exec rm -rf {} + 2>/dev/null || true
+find "$GOLD" -name "Log.out" -delete; find "$GOLD" -name "Log.progress.out" -delete || true
