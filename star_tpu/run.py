@@ -287,6 +287,8 @@ def _run_mapping(P: Parameters, gi: GenomeIndex, use_device=None) -> RunStats:
                       + stats.unmapped_other + stats.unmapped_multi)
         gene_counts.write(prefix + "ReadsPerGene.out.tab", n_unmapped)
     if solo is not None:
+        solo.stats_mapped_u = stats.mapped_reads_u
+        solo.stats_mapped_um = stats.mapped_reads_u + stats.mapped_reads_m
         solo.process(prefix + "Solo.out/")
     if chim_stream is not None and P.chimOutTypeJunctions:
         with open(prefix + "Chimeric.out.junction", "w") as f:

@@ -231,6 +231,16 @@ def classify_gene(res, trm, strand: int):
 
 
 # ------------------------------------------------------------- processing
+BAR_STATS = ["noNoAdapter", "noNoUMI", "noNoCB", "noNinCB", "noNinUMI",
+             "noUMIhomopolymer", "noNoWLmatch", "noTooManyMM",
+             "noTooManyWLmatches", "yesWLmatchExact", "yesOneWLmatchWithMM",
+             "yesMultWLmatchWithMM"]
+FEAT_STATS = ["noUnmapped", "noNoFeature", "MultiFeature",
+              "subMultiFeatureMultiGenomic", "noTooManyWLmatches",
+              "noMMtoWLwithoutExact", "yesWLmatch", "yessubWLmatchExact",
+              "yessubWLmatch_UniqueFeature", "yesCellBarcodes", "yesUMIs"]
+
+
 class SoloGene:
     """CB_UMI_Simple, feature=Gene, umiDedup 1MM_All, multimappers Unique"""
 
@@ -242,16 +252,43 @@ class SoloGene:
         self.records = []  # (umi, gene, cbMatch, matches)
         self.cb_read_count = np.zeros(len(self.bc.wl), dtype=np.int64)
         self.strand = {"Unstranded": -1, "Forward": 0, "Reverse": 1}[P.soloStrand]
+        self.bar_stats = dict.fromkeys(BAR_STATS, 0)
+        self.feat_stats = dict.fromkeys(FEAT_STATS, 0)
+        self.n_reads = 0
+        self.q30_bc = [0, 0]   # [q30, total] for CB+UMI qualities
+        self.q30_rna = [0, 0]
 
     def add_read(self, res, b_seq: str, b_qual: str):
+        self.n_reads += 1
         cb_match, matches, umi = self.bc.get_cb_umi(b_seq, b_qual)
+        bc = self.bc
+        q = b_qual[bc.cb_s:bc.cb_s + bc.cb_l] + b_qual[bc.umi_s:bc.umi_s + bc.umi_l]
+        self.q30_bc[1] += len(q)
+        self.q30_bc[0] += sum(1 for c in q if ord(c) >= 33 + 30)
+        for qs in res.quals:
+            self.q30_rna[1] += len(qs)
+            self.q30_rna[0] += sum(1 for c in qs if ord(c) >= 33 + 30)
+        # barcode-stage stats (reference SoloReadBarcode::addStats)
+        key = {0: "yesWLmatchExact", 1: "yesOneWLmatchWithMM",
+               -1: "noNoWLmatch", -2: "noNinCB", -3: "noTooManyWLmatches",
+               -11: "noNoCB", -12: "noTooManyMM", -23: "noNinUMI",
+               -24: "noUMIhomopolymer"}.get(cb_match, "yesMultWLmatchWithMM")
+        self.bar_stats[key] += 1
         if cb_match < 0:
             return
         if res.unmap_type >= 0 or res.n_tr == 0:
-            return  # unmapped reads contribute no feature
+            # reads failing the mapping filters contribute no feature
+            self.feat_stats["noUnmapped"] += 1
+            return
         genes = classify_gene(res, self.trm, self.strand)
-        if len(genes) != 1:
-            return  # no gene or multi-gene: not counted (multimappers Unique)
+        if len(genes) == 0:
+            self.feat_stats["noNoFeature"] += 1
+            return
+        if len(genes) > 1:
+            self.feat_stats["MultiFeature"] += 1
+            if res.n_tr > 1:
+                self.feat_stats["subMultiFeatureMultiGenomic"] += 1
+            return  # multimappers Unique: multi-gene reads are not counted
         gene = next(iter(genes))
         self.records.append((umi, gene, cb_match, matches))
         for (cbi, _) in matches:
@@ -262,11 +299,16 @@ class SoloGene:
         P = self.P
         bc = self.bc
         per_cb: Dict[int, list] = defaultdict(list)
+        per_cb_exact: Dict[int, int] = defaultdict(int)
         for (umi, gene, cb_match, matches) in self.records:
             if cb_match <= 1:
                 cbi = matches[0][0]
                 if bc.one_exact and cb_match == 1 and bc.cb_read_count_exact[cbi] == 0:
+                    self.feat_stats["noMMtoWLwithoutExact"] += 1
                     continue
+                if cb_match == 0:
+                    self.feat_stats["yessubWLmatchExact"] += 1
+                    per_cb_exact[cbi] += 1
                 per_cb[cbi].append((gene, umi))
             else:
                 ptot = 0.0
@@ -282,6 +324,8 @@ class SoloGene:
                             cb_best = cbi
                 if ptot > 0.0 and pmax >= 0.975 * ptot:
                     per_cb[cb_best].append((gene, umi))
+                else:
+                    self.feat_stats["noTooManyWLmatches"] += 1
 
         # per-CB gene/UMI collapse
         cbs = sorted(per_cb.keys())
@@ -328,8 +372,69 @@ class SoloGene:
             n_umi_min = n_umi_sorted[min(len(n_umi_sorted) - 1, top)]
             filtered = {c for c, n in n_umi_per_cb.items() if n >= n_umi_min}
 
+        # feature-stage summary stats
+        self.feat_stats["yesWLmatch"] = sum(len(v) for v in per_cb.values() if v)
+        self.feat_stats["yessubWLmatch_UniqueFeature"] = self.feat_stats["yesWLmatch"]
+        self.feat_stats["yesCellBarcodes"] = len(counts)
+        self.feat_stats["yesUMIs"] = sum(n_umi_per_cb.values())
+        self.per_cb_read_n = {c: len(v) for c, v in per_cb.items()}
+
         self._write(out_dir, filtered, n_umi_sorted)
+        self._write_stats(out_dir, filtered)
         return counts
+
+    def _write_stats(self, out_dir, filtered):
+        def fmt_stats(d):
+            return "".join(f"{k:>50}{v:>15}\n" for k, v in d.items())
+        with open(os.path.join(out_dir, "Barcodes.stats"), "w") as f:
+            f.write(fmt_stats(self.bar_stats))
+        gene_dir = os.path.join(out_dir, "Gene")
+        with open(os.path.join(gene_dir, "Features.stats"), "w") as f:
+            f.write(fmt_stats(self.feat_stats))
+
+        # Summary.csv (reference SoloFeature_statsOutput.cpp)
+        def g(x):
+            return f"{x:g}"
+        n = self.n_reads
+        fs = self.feat_stats
+        bs = self.bar_stats
+        inval = sum(bs[k] for k in BAR_STATS[:9])             + fs["noTooManyWLmatches"] + fs["noMMtoWLwithoutExact"]
+        lines = [f"Number of Reads,{n}",
+                 f"Reads With Valid Barcodes,{g(1.0 - inval / n)}" if n else "Reads With Valid Barcodes,0",
+                 f"Sequencing Saturation,{g(1.0 - fs['yesUMIs'] / fs['yessubWLmatch_UniqueFeature'])}"
+                 if fs['yessubWLmatch_UniqueFeature'] else "Sequencing Saturation,-nan",
+                 f"Q30 Bases in CB+UMI,{g(self.q30_bc[0] / max(self.q30_bc[1], 1))}",
+                 f"Q30 Bases in RNA read,{g(self.q30_rna[0] / max(self.q30_rna[1], 1))}",
+                 f"Reads Mapped to Genome: Unique+Multiple,{g(self.stats_mapped_um / n)}",
+                 f"Reads Mapped to Genome: Unique,{g(self.stats_mapped_u / n)}",
+                 "Reads Mapped to Gene: Unique+Multiple Gene,NoMulti",
+                 f"Reads Mapped to Gene: Unique Gene,{g(fs['yessubWLmatch_UniqueFeature'] / n)}"]
+        # filtered-cell block
+        cells = sorted(filtered)
+        if cells:
+            n_cells = len(cells)
+            reads_in = [self.per_cb_read_n.get(c, 0) for c in cells]
+            umis_in = [self.n_umi_per_cb.get(c, 0) for c in cells]
+            genes_in = [len(self.counts.get(c, [])) for c in cells]
+            gene_set = set()
+            for c in cells:
+                for (gg, _) in self.counts.get(c, []):
+                    gene_set.add(gg)
+            n_umi_sorted = sorted(self.n_umi_per_cb.values(), reverse=True)
+            lines += [
+                f"Estimated Number of Cells,{n_cells}",
+                f"Unique Reads in Cells Mapped to Gene,{sum(reads_in)}",
+                f"Fraction of Unique Reads in Cells,{g(sum(reads_in) / fs['yessubWLmatch_UniqueFeature'])}",
+                f"Mean Reads per Cell,{sum(reads_in) // n_cells}",
+                f"Median Reads per Cell,{sorted(reads_in)[n_cells // 2]}",
+                f"UMIs in Cells,{sum(umis_in)}",
+                f"Mean UMI per Cell,{sum(umis_in) // n_cells}",
+                f"Median UMI per Cell,{n_umi_sorted[n_cells // 2]}",
+                f"Mean Gene per Cell,{sum(genes_in) // n_cells}",
+                f"Median Gene per Cell,{sorted(genes_in)[n_cells // 2]}",
+                f"Total Gene Detected,{len(gene_set)}"]
+        with open(os.path.join(gene_dir, "Summary.csv"), "w") as f:
+            f.write("\n".join(lines) + "\n")
 
     def _write(self, out_dir, filtered, n_umi_sorted):
         trm = self.trm
