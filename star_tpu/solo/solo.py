@@ -353,7 +353,7 @@ class SoloGene:
         self.counts = counts
         self.n_umi_per_cb = n_umi_per_cb
 
-        # cell filtering (CellRanger2.2 knee)
+        # cell filtering (CellRanger2.2 knee, optionally EmptyDrops_CR on top)
         filt = P.soloCellFilter
         filtered = set()
         n_umi_sorted = sorted(n_umi_per_cb.values(), reverse=True)
@@ -371,6 +371,10 @@ class SoloGene:
             top = int(filt[1])
             n_umi_min = n_umi_sorted[min(len(n_umi_sorted) - 1, top)]
             filtered = {c for c, n in n_umi_per_cb.items() if n >= n_umi_min}
+        if filt[0] == "EmptyDrops_CR" and filtered:
+            from .emptydrops import empty_drops_cr
+            filtered = filtered | empty_drops_cr(
+                counts, n_umi_per_cb, self.trm.n_genes, filtered, P)
 
         # feature-stage summary stats
         self.feat_stats["yesWLmatch"] = sum(len(v) for v in per_cb.values() if v)
