@@ -488,6 +488,38 @@ class WindowStitcher:
             return
 
         wa_row = self.wa[iA]
+        # cheap rejection pre-checks before paying for the transcript copy
+        # (same outcomes as the corresponding stitch rejection codes)
+        if tr.nExons > 0:
+            skip = False
+            if tr.nExons >= MAX_N_EXONS:
+                skip = True
+            else:
+                last_frag = tr.exons[tr.nExons - 1][3]
+                r_b = wa_row[WA_rStart]
+                g_b = wa_row[WA_gStart]
+                L = wa_row[WA_Length]
+                annot_path = (wa_row[WA_sjA] != -1
+                              and tr.exons[tr.nExons - 1][4] == wa_row[WA_sjA]
+                              and last_frag == wa_row[WA_iFrag]
+                              and r_b == tR2 + 1 and tG2 + 1 < g_b)
+                if not annot_path:
+                    if last_frag == wa_row[WA_iFrag]:
+                        if r_b + L - 1 <= tR2 or g_b + L - 1 <= tG2:
+                            skip = True
+                    else:
+                        if not (g_b + tr.exons[0][0] + self.P.alignEndsProtrudeMax
+                                >= tr.exons[0][1] or tr.exons[0][1] < tr.exons[0][0]):
+                            skip = True
+                        elif (self.P.alignMatesGapMax > 0
+                              and g_b > tr.exons[tr.nExons - 1][1]
+                              + tr.exons[tr.nExons - 1][2] + self.P.alignMatesGapMax):
+                            skip = True
+            if skip:
+                if wa_row[WA_Anchor] != 2 or tr.nAnchor > 0:
+                    self._recurse(iA + 1, nA, score, tR2, tG2, tr)
+                return
+
         tr_i = tr.copy()
         if tr.nExons > 0:
             d_score = stitch_align_to_transcript(
