@@ -1,0 +1,137 @@
+// Native suffix-array builder for the doubled search text T2.
+//
+// Drop-in accelerator for star_tpu.genome.generate.sort_suffixes (the numpy
+// prefix-doubling sorter): sorts all nucleotide-starting suffixes of
+// T2=concat(G, revcomp(G)) in the same total order — byte-lexicographic over
+// codes 0-5 where the spacer (5) terminates comparison and ties break by
+// ascending position (reference semantics: source/Genome_genomeGenerate.cpp
+// funCompareSuffixes; the implementation here is our own: 64-bit byteswapped
+// block compares + OpenMP bucket sort by 8-base prefix).
+//
+// Build: tools/build_native.sh  ->  native/libsasort.so  (loaded via ctypes)
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+namespace {
+
+const uint8_t *gT2;   // padded text (>=8 spacer bytes appended by caller)
+int64_t gN;           // true text length (without padding)
+
+// compare suffixes at positions a, b; true if suffix(a) < suffix(b)
+inline bool suffix_less(int64_t a, int64_t b) {
+    if (a == b) return false;
+    const uint8_t *pa = gT2 + a;
+    const uint8_t *pb = gT2 + b;
+    for (;;) {
+        uint64_t va, vb;
+        std::memcpy(&va, pa, 8);
+        std::memcpy(&vb, pb, 8);
+        if (va != vb) {
+            uint64_t diff = va ^ vb;
+            int k = __builtin_ctzll(diff) >> 3;  // first differing byte index
+            // equal prefix within this block: if it contains a spacer, the
+            // comparison terminated there -> tie-break by position
+            for (int j = 0; j < k; j++) {
+                if (pa[j] == 5) return a < b;
+            }
+            return pa[k] < pb[k];
+        }
+        // 8 equal bytes: if they contain a spacer, tie-break by position
+        // has-5 bit trick over the whole word
+        uint64_t x = va ^ 0x0505050505050505ULL;
+        if ((x - 0x0101010101010101ULL) & ~x & 0x8080808080808080ULL)
+            return a < b;
+        pa += 8;
+        pb += 8;
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// t2: int8 text of length n, padded with >=8 bytes of value 5 beyond n.
+// out_sa: buffer of capacity n (int64). Returns number of suffixes written.
+int64_t sa_sort_suffixes(const int8_t *t2, int64_t n, int64_t *out_sa,
+                         int n_threads) {
+    gT2 = reinterpret_cast<const uint8_t *>(t2);
+    gN = n;
+
+#ifdef _OPENMP
+    if (n_threads > 0) omp_set_num_threads(n_threads);
+#endif
+
+    // bucket by the first 4 bases (8 bits); positions starting with 4/5 excluded
+    const int NB = 256;
+    std::vector<std::vector<int64_t>> buckets(NB);
+    std::vector<int64_t> bucket_count(NB, 0);
+    for (int64_t p = 0; p < n; p++) {
+        if (gT2[p] < 4) {
+            int key = 0;
+            for (int j = 0; j < 4; j++) {
+                int c = gT2[p + j];
+                key = (key << 2) | (c < 4 ? c : 0);
+            }
+            bucket_count[key]++;
+        }
+    }
+    for (int b = 0; b < NB; b++) buckets[b].reserve(bucket_count[b]);
+    for (int64_t p = 0; p < n; p++) {
+        if (gT2[p] < 4) {
+            int key = 0;
+            for (int j = 0; j < 4; j++) {
+                int c = gT2[p + j];
+                key = (key << 2) | (c < 4 ? c : 0);
+            }
+            buckets[key].push_back(p);
+        }
+    }
+
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 1)
+#endif
+    for (int b = 0; b < NB; b++) {
+        std::sort(buckets[b].begin(), buckets[b].end(), suffix_less);
+    }
+
+    // buckets are NOT globally ordered by key (keys built with 4/5 clamped to
+    // 0), so merge all bucket outputs with a final stable global ordering:
+    // simply concatenate per true order via one more sort of bucket heads is
+    // wasteful; instead note that clamping only affects suffixes with a
+    // 4/5 within their first 4 bases, which are rare — put those in a
+    // separate list and merge.
+    // Simpler correct approach: concatenate buckets in key order works only
+    // if keys are order-consistent.  They are not for clamped suffixes, so we
+    // detect clamped suffixes and re-insert them by binary search.
+    int64_t m = 0;
+    std::vector<int64_t> clamped;
+    for (int b = 0; b < NB; b++) {
+        for (int64_t p : buckets[b]) {
+            bool cl = false;
+            for (int j = 1; j < 4; j++)
+                if (gT2[p + j] >= 4) { cl = true; break; }
+            if (cl) clamped.push_back(p);
+            else out_sa[m++] = p;
+        }
+    }
+    if (!clamped.empty()) {
+        std::sort(clamped.begin(), clamped.end(), suffix_less);
+        // merge the two sorted sequences
+        std::vector<int64_t> merged(m + clamped.size());
+        std::merge(out_sa, out_sa + m, clamped.begin(), clamped.end(),
+                   merged.begin(), suffix_less);
+        std::memcpy(out_sa, merged.data(), merged.size() * sizeof(int64_t));
+        m += (int64_t)clamped.size();
+    }
+    return m;
+}
+
+}  // extern "C"

@@ -24,7 +24,14 @@ import numpy as np
 
 def sort_suffixes(t2: np.ndarray) -> np.ndarray:
     """Return SA: combined positions p (0..2N) of nucleotide-starting suffixes
-    of t2, in lexicographic order (spacer-terminated, position tie-break)."""
+    of t2, in lexicographic order (spacer-terminated, position tie-break).
+
+    Uses the native C++ sorter when built (tools/build_native.sh); the numpy
+    prefix-doubling path below is the always-available reference."""
+    from .native import sort_suffixes_native
+    sa = sort_suffixes_native(t2)
+    if sa is not None:
+        return sa
     # The reference allocation guards the doubled text with trailing spacers
     # (genome buffer is memset to the spacer char); append one so suffixes
     # near the end terminate identically.

@@ -1,0 +1,59 @@
+"""ctypes bindings for the native (C++) index-build helpers.
+
+The suffix sorter is the host-side hot spot of genomeGenerate at mammal scale;
+native/sa_sort.cpp implements the same total order as the numpy prefix-
+doubling sorter (tests enforce equality).  Falls back to numpy when the
+shared library is absent or STAR_TPU_NATIVE=0.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("STAR_TPU_NATIVE", "1") == "0":
+        return None
+    so = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "native", "libsasort.so")
+    if not os.path.exists(so):
+        return None
+    try:
+        lib = ctypes.CDLL(so)
+        lib.sa_sort_suffixes.restype = ctypes.c_int64
+        lib.sa_sort_suffixes.argtypes = [
+            ctypes.POINTER(ctypes.c_int8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int]
+        _lib = lib
+    except OSError:
+        _lib = None
+    return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def sort_suffixes_native(t2: np.ndarray, n_threads: int = 0):
+    """returns SA (int64 positions) or None if unavailable"""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(t2)
+    t2p = np.concatenate([t2.astype(np.int8), np.full(16, 5, dtype=np.int8)])
+    out = np.empty(n, dtype=np.int64)
+    m = lib.sa_sort_suffixes(
+        t2p.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        ctypes.c_int64(n),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int(n_threads))
+    return out[:m].copy()
