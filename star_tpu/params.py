@@ -206,6 +206,7 @@ _DEFS: List[ParamDef] = [d for d in [
     ParamDef("soloStrand", "str", "Forward"),
     ParamDef("soloUMIfiltering", "str_list", ["-"]),
     ParamDef("soloMultiMappers", "str_list", ["Unique"]),
+    ParamDef("soloCellReadStats", "str", "None"),
     # framework-specific (no reference analog): device batching
     ParamDef("tpuBatchSize", "int", 4096),
     ParamDef("tpuUseDevice", "int", 1),

@@ -55,6 +55,22 @@ class Transcriptome:
         t = cls(ex_s=ex_s, ex_e=ex_e, ex_emax=ex_emax,
                 ex_str=rows[:, 2].astype(np.int8), ex_g=rows[:, 3].astype(np.int32),
                 gene_id=gene_id, gene_name=gene_name)
+        # geneFull spans (reference Transcriptome.cpp:100-140): per-gene
+        # min-start/max-end over exons, sorted by (start, end)
+        n_ge = len(gene_id)
+        gf = np.zeros((n_ge, 4), dtype=np.int64)
+        gf[:, 0] = np.iinfo(np.int64).max
+        for i in range(len(ex_s)):
+            g1 = int(rows[i, 3])
+            gf[g1, 0] = min(gf[g1, 0], int(rows[i, 0]))
+            gf[g1, 1] = max(gf[g1, 1], int(rows[i, 1]))
+            gf[g1, 2] = int(rows[i, 2])
+        gf[:, 3] = np.arange(n_ge)
+        order = np.lexsort((gf[:, 1], gf[:, 0]))
+        gf = gf[order]
+        t.gf_s, t.gf_e = gf[:, 0].copy(), gf[:, 1].copy()
+        t.gf_str, t.gf_g = gf[:, 2].copy(), gf[:, 3].copy()
+        t.gf_emax = np.maximum.accumulate(t.gf_e)
         # transcripts
         tr_path = os.path.join(tr_info_dir, "transcriptInfo.tab")
         if os.path.exists(tr_path):

@@ -173,9 +173,9 @@ def _run_mapping(P: Parameters, gi: GenomeIndex, use_device=None) -> RunStats:
     solo = None
     if P.soloTypeYes and P.soloType[0] == "CB_UMI_Simple":
         from .quant.transcriptome import Transcriptome
-        from .solo.solo import SoloGene
+        from .solo.solo import Solo
         trm_solo = Transcriptome.load(getattr(P, "trInfoDir", P.genomeDir))
-        solo = SoloGene(gi, P, trm_solo)
+        solo = Solo(gi, P, trm_solo)
 
     chim_stream = None
     chim_lines = []
@@ -190,7 +190,8 @@ def _run_mapping(P: Parameters, gi: GenomeIndex, use_device=None) -> RunStats:
 
     def emit(res, aligner):
         if solo is not None and getattr(res, "solo_bc", None) is not None:
-            solo.add_read(res, res.solo_bc[0], res.solo_bc[1])
+            solo.add_read(res, res.solo_bc[0], res.solo_bc[1],
+                          getattr(res, "i_read_all", 0))
         # chimeric detection runs for every read with windows, including
         # reads failing the linear filters (reference: oneRead order)
         if chim_stream is not None and getattr(res, "read1", None) is not None:
@@ -287,9 +288,14 @@ def _run_mapping(P: Parameters, gi: GenomeIndex, use_device=None) -> RunStats:
                       + stats.unmapped_other + stats.unmapped_multi)
         gene_counts.write(prefix + "ReadsPerGene.out.tab", n_unmapped)
     if solo is not None:
-        solo.stats_mapped_u = stats.mapped_reads_u
-        solo.stats_mapped_um = stats.mapped_reads_u + stats.mapped_reads_m
-        solo.process(prefix + "Solo.out/")
+        import numpy as np
+        sj_rows = sj.collapse_and_filter()
+        sj_all = (np.array([r[0] for r in sj_rows], dtype=np.int64),
+                  np.array([r[1] for r in sj_rows], dtype=np.int64))
+        run_stats = {"readN": stats.read_n,
+                     "mappedU": stats.mapped_reads_u,
+                     "mappedUM": stats.mapped_reads_u + stats.mapped_reads_m}
+        solo.process(prefix + "Solo.out/", run_stats, sj_all)
     if chim_stream is not None and P.chimOutTypeJunctions:
         with open(prefix + "Chimeric.out.junction", "w") as f:
             if P.chimOutJunctionFormat == 1:
@@ -329,9 +335,11 @@ def _align_all(P: Parameters, gi: GenomeIndex, stats: RunStats, use_device: bool
                 for name, seqs, quals, ftype, bc in r:
                     yield name, seqs, quals, ftype
             items = list(reader0)
-            bcs = {it[0]: it[4] for it in items}
+            bcs = {it[0]: (i, it[4]) for i, it in enumerate(items)}
             for res in aligner.align_stream(plain(iter(items)), stats):
-                res.solo_bc = bcs.get(res.name)
+                ii, bc = bcs.get(res.name, (0, None))
+                res.solo_bc = bc
+                res.i_read_all = ii
                 yield res
         else:
             aligner = ReadAligner(gi, P)
@@ -342,6 +350,7 @@ def _align_all(P: Parameters, gi: GenomeIndex, stats: RunStats, use_device: bool
                 res = aligner.align_read(name, seqs, quals)
                 res.read_file_type = ftype
                 res.solo_bc = bc
+                res.i_read_all = n
                 stats.add_read(res)
                 n += 1
                 yield res

@@ -17,6 +17,24 @@ from .sgt import SGT
 from ..utils.rng import MT19937
 
 
+def empty_drops_cr_proc(proc, filt_vec, P):
+    """adapter for the SoloFeatureProc pipeline: extends the simple-knee
+    filter vector with EmptyDrops_CR calls (reference SoloFeature_emptyDrops_CR.cpp)"""
+    counts = {}
+    n_umi = {}
+    for icb in range(proc.n_cb):
+        cbi = int(proc.ind_cb[icb])
+        counts[cbi] = [(row[0], row[proc.conf.count_ind_main])
+                       for row in proc.rows_per_cb[icb]]
+        n_umi[cbi] = int(proc.n_umi_per_cb[icb])
+    simple = {int(proc.ind_cb[i]) for i in range(proc.n_cb) if filt_vec[i]}
+    extra = empty_drops_cr(counts, n_umi, proc.features_number, simple, P)
+    out = filt_vec.copy()
+    for cbi in extra:
+        out[int(proc.ind_cb_wl[cbi])] = True
+    return out
+
+
 def empty_drops_cr(counts: Dict[int, List], n_umi_per_cb: Dict[int, int],
                    n_genes_total: int, simple_filtered: set, P) -> set:
     """returns the set of ADDITIONAL cell barcodes called non-ambient"""

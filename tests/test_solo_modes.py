@@ -1,0 +1,79 @@
+"""STARsolo extended modes vs reference goldens: all UMI dedup types,
+multimapper distribution matrices, MultiGeneUMI filtering, multi-feature
+runs (GeneFull variants, SJ, Velocyto), CellReads.stats."""
+import filecmp
+import os
+import subprocess
+
+import pytest
+
+from tests.conftest import DATA, GOLD
+
+D3 = os.path.join(os.path.dirname(DATA), "solo3")
+G3 = os.path.join(os.path.dirname(GOLD), "solo3")
+
+COMMON = ["--genomeDir", os.path.join(G3, "idx"),
+          "--readFilesIn", os.path.join(D3, "cdna.fastq"),
+          os.path.join(D3, "bc.fastq"),
+          "--soloType", "CB_UMI_Simple",
+          "--soloCBwhitelist", os.path.join(D3, "wl.txt"),
+          "--soloCBstart", "1", "--soloCBlen", "16",
+          "--soloUMIstart", "17", "--soloUMIlen", "12",
+          "--outSAMtype", "None", "--soloCellFilter", "TopCells", "8"]
+
+
+def _diff_tree(a, b):
+    out = []
+    for root, _, files in os.walk(a):
+        for fn in files:
+            fa = os.path.join(root, fn)
+            fb = os.path.join(b, os.path.relpath(fa, a))
+            assert os.path.exists(fb), f"missing {fb}"
+            with open(fa, "rb") as f1, open(fb, "rb") as f2:
+                if f1.read() != f2.read():
+                    out.append(os.path.relpath(fa, a))
+    assert not out, f"differs: {out}"
+
+
+def _run(tmp_path, extra):
+    from star_tpu.params import Parameters
+    from star_tpu.run import align_reads
+    prefix = str(tmp_path) + "/"
+    P = Parameters(COMMON + extra + ["--outFileNamePrefix", prefix])
+    align_reads(P, use_device=False)
+    return prefix
+
+
+@pytest.mark.parametrize("name,extra", [
+    ("dedup", ["--soloUMIdedup", "NoDedup", "Exact", "1MM_All",
+               "1MM_Directional", "1MM_CR", "1MM_Directional_UMItools"]),
+    ("mm", ["--soloMultiMappers", "Uniform", "Rescue", "PropUnique", "EM",
+            "--soloCellReadStats", "Standard"]),
+    ("mgumi", ["--soloUMIfiltering", "MultiGeneUMI"]),
+    ("mgumicr", ["--soloUMIfiltering", "MultiGeneUMI_CR",
+                 "--soloUMIdedup", "1MM_CR"]),
+])
+def test_solo3_modes(tmp_path, name, extra):
+    prefix = _run(tmp_path, extra)
+    _diff_tree(os.path.join(G3, name, "Solo.out"), prefix + "Solo.out")
+
+
+def test_solo_multifeature(tmp_path):
+    """Gene + GeneFull[_ExonOverIntron/_Ex50pAS] + SJ + Velocyto + CellReads"""
+    from star_tpu.params import Parameters
+    from star_tpu.run import align_reads
+    prefix = str(tmp_path) + "/"
+    P = Parameters(["--genomeDir", os.path.join(GOLD, "genome_idx_gtf"),
+                    "--readFilesIn", os.path.join(DATA, "solo_cdna.fastq"),
+                    os.path.join(DATA, "solo_bc.fastq"),
+                    "--outFileNamePrefix", prefix,
+                    "--soloType", "CB_UMI_Simple",
+                    "--soloCBwhitelist", os.path.join(DATA, "solo_wl.txt"),
+                    "--soloCBstart", "1", "--soloCBlen", "16",
+                    "--soloUMIstart", "17", "--soloUMIlen", "12",
+                    "--outSAMtype", "None",
+                    "--soloFeatures", "Gene", "GeneFull",
+                    "GeneFull_ExonOverIntron", "GeneFull_Ex50pAS", "SJ",
+                    "Velocyto", "--soloCellReadStats", "Standard"])
+    align_reads(P, use_device=False)
+    _diff_tree(os.path.join(GOLD, "solo_feat", "Solo.out"), prefix + "Solo.out")

@@ -110,3 +110,36 @@ $STAR --genomeDir "$GOLD/genome_idx_gtf" --readFilesIn "$DATA/solo_cdna.fastq" "
       --soloUMIstart 17 --soloUMIlen 12 --outSAMtype None > /dev/null
 find "$GOLD" -name "_STARtmp" -type d -exec rm -rf {} + 2>/dev/null || true
 find "$GOLD" -name "Log.out" -delete; find "$GOLD" -name "Log.progress.out" -delete || true
+
+# 14. STARsolo multi-feature (GeneFull variants, SJ, Velocyto, CellReads.stats)
+rm -rf "$GOLD/solo_feat"; mkdir -p "$GOLD/solo_feat"
+$STAR --genomeDir "$GOLD/genome_idx_gtf" --readFilesIn "$DATA/solo_cdna.fastq" "$DATA/solo_bc.fastq" \
+      --runThreadN 1 --outFileNamePrefix "$GOLD/solo_feat/" --soloType CB_UMI_Simple \
+      --soloCBwhitelist "$DATA/solo_wl.txt" --soloCBstart 1 --soloCBlen 16 \
+      --soloUMIstart 17 --soloUMIlen 12 --outSAMtype None \
+      --soloFeatures Gene GeneFull GeneFull_ExonOverIntron GeneFull_Ex50pAS SJ Velocyto \
+      --soloCellReadStats Standard > /dev/null
+find "$GOLD" -name "_STARtmp" -type d -exec rm -rf {} + 2>/dev/null || true
+find "$GOLD" -name "Log.out" -delete; find "$GOLD" -name "Log.progress.out" -delete || true
+
+# 15. STARsolo dedup/multimapper/MultiGeneUMI modes (solo3 dataset,
+#     generated by tools/make_solo_data.py)
+D3=tests/data/solo3
+G3=tests/golden/solo3
+python3 tools/make_solo_data.py
+rm -rf "$G3"; mkdir -p "$G3/idx"
+$STAR --runMode genomeGenerate --genomeDir "$G3/idx" --genomeFastaFiles "$D3/genome.fa" \
+      --genomeSAindexNbases 7 --sjdbGTFfile "$D3/annot.gtf" --sjdbOverhang 79 \
+      --runThreadN 2 --outFileNamePrefix "$G3/gg_" > /dev/null
+solo3common="--genomeDir $G3/idx --readFilesIn $D3/cdna.fastq $D3/bc.fastq --runThreadN 1 \
+      --soloType CB_UMI_Simple --soloCBwhitelist $D3/wl.txt --soloCBstart 1 --soloCBlen 16 \
+      --soloUMIstart 17 --soloUMIlen 12 --outSAMtype None --soloCellFilter TopCells 8"
+$STAR $solo3common --outFileNamePrefix "$G3/dedup/" \
+      --soloUMIdedup NoDedup Exact 1MM_All 1MM_Directional 1MM_CR 1MM_Directional_UMItools > /dev/null
+$STAR $solo3common --outFileNamePrefix "$G3/mm/" \
+      --soloMultiMappers Uniform Rescue PropUnique EM --soloCellReadStats Standard > /dev/null
+$STAR $solo3common --outFileNamePrefix "$G3/mgumi/" --soloUMIfiltering MultiGeneUMI > /dev/null
+$STAR $solo3common --outFileNamePrefix "$G3/mgumicr/" \
+      --soloUMIfiltering MultiGeneUMI_CR --soloUMIdedup 1MM_CR > /dev/null
+find "$G3" -name "_STARtmp" -type d -exec rm -rf {} + 2>/dev/null || true
+find "$G3" \( -name "Log.out" -o -name "Log.progress.out" -o -name "gg_*" \) -delete || true
