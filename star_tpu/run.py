@@ -378,6 +378,9 @@ def main(argv=None):
     P = Parameters(argv)
     if "genomeGenerate" in P.runMode:
         genome_generate(P)
+    elif P.runMode[0] == "soloCellFiltering":
+        from .solo.solo import solo_cell_filtering
+        solo_cell_filtering(P)
     elif "inputAlignmentsFromBAM" in P.runMode:
         if P.outWigType[0] != "None":
             from .io.signal import signal_from_bam

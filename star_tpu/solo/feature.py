@@ -416,24 +416,28 @@ class SoloFeatureProc:
     # ---------------------------------------------------------- outputResults
     def output_results(self, cell_filter_yes: bool, out_dir: str, P,
                        filt_vec=None):
-        os.makedirs(out_dir, exist_ok=True)
+        """out_dir is a filename PREFIX (reference concatenates; callers pass
+        '<dir>/raw/' etc., soloCellFiltering passes a bare prefix)"""
+        os.makedirs(os.path.dirname(out_dir + "x") or ".", exist_ok=True)
         trm = self.trm
         # features.tsv
-        if self.ft == FT_SJ:
+        if self.ft == -1:
+            pass  # soloCellFiltering: features.tsv copied verbatim by loader
+        elif self.ft == FT_SJ:
             sjout = P.outFileNamePrefix + "SJ.out.tab"
             if not sjout.startswith("/"):
                 sjout = os.path.join(os.getcwd(), sjout)
-            link = os.path.join(out_dir, "features.tsv")
+            link = out_dir + "features.tsv"
             if os.path.islink(link) or os.path.exists(link):
                 os.remove(link)
             os.symlink(sjout, link)
         else:
-            with open(os.path.join(out_dir, "features.tsv"), "w") as f:
+            with open(out_dir + "features.tsv", "w") as f:
                 for g, n in zip(trm.gene_id, trm.gene_name):
                     f.write(f"{g}\t{n or g}\tGene Expression\n")
         # barcodes.tsv
         n_entries = 0
-        with open(os.path.join(out_dir, "barcodes.tsv"), "w") as f:
+        with open(out_dir + "barcodes.tsv", "w") as f:
             if cell_filter_yes:
                 for icb in range(self.n_cb):
                     if filt_vec[icb]:
@@ -455,10 +459,10 @@ class SoloFeatureProc:
                 name = f"umiDedup-{DEDUP_NAMES[conf.types[icol - 1]]}.mtx"
             else:
                 name = "matrix.mtx"
-            with open(os.path.join(out_dir, name), "w") as f:
+            with open(out_dir + name, "w") as f:
                 f.write("%%MatrixMarket matrix coordinate integer general\n%\n")
-                ncols = (int(np.count_nonzero(filt_vec)) if cell_filter_yes
-                         else len(self.bc.wl_str))
+                ncols = (int(np.count_nonzero(filt_vec[:self.n_cb]))
+                         if cell_filter_yes else len(self.bc.wl_str))
                 f.write(f"{self.features_number} {ncols} {n_entries}\n")
                 cb_ind1 = 0
                 for icb in range(self.n_cb):
@@ -515,7 +519,7 @@ class SoloFeatureProc:
                                     self.n_umi_per_cb_multi[icb] += c2
                             n_ent += 1
                     fill = False
-                    with open(os.path.join(out_dir, name), "w") as f:
+                    with open(out_dir + name, "w") as f:
                         f.write("%%MatrixMarket matrix coordinate real general\n%\n")
                         f.write(f"{self.features_number} {len(self.bc.wl_str)} {n_ent}\n")
                         f.writelines(lines)
@@ -571,7 +575,8 @@ class SoloFeatureProc:
                 continue
             n_cells += 1
             n_umi_in += int(self.n_umi_per_cb[icb])
-            n_read_u.append(int(self.n_read_per_cb_unique[icb]))
+            nru = getattr(self, "n_read_per_cb_unique", None)
+            n_read_u.append(int(nru[icb]) if nru is not None else 0)
             ng1 = 0
             for row in self.rows_per_cb[icb]:
                 if row[self.conf.count_ind_main if self.ft != FT_VELOCYTO else 1] > 0:

@@ -144,6 +144,80 @@ class SoloBarcodes:
         return cb_match, matches, umi_v
 
 
+def solo_cell_filtering(P):
+    """--runMode soloCellFiltering <rawDir> <outPrefix>: re-filter a raw
+    matrix without remapping (reference Solo.cpp:23-44 +
+    SoloFeature_loadRawMatrix.cpp)."""
+    import shutil
+    from .feature import SoloFeatureProc, c_round
+    if len(P.runMode) < 3:
+        raise SystemExit(
+            "Exiting because of fatal PARAMETER error: --runMode "
+            "soloCellFiltering should contain paths to count matrix input "
+            "directorry and output prefix.\nSOLUTION: re-run with --runMode "
+            "soloCellFiltering </path/to/raw/count/dir/> </path/to/output/prefix>")
+    input_prefix = P.runMode[1] + "/"
+    out_prefix = P.runMode[2]
+
+    if not os.path.exists(input_prefix + "matrix.mtx"):
+        raise SystemExit(
+            "EXITING because of fatal input ERROR: could not open input file "
+            + input_prefix + "matrix.mtx" + "\nSOLUTION: check path and "
+            "permission for the matrix file " + input_prefix + "matrix.mtx")
+    entries = []  # (gene0, cell0, count)
+    with open(input_prefix + "matrix.mtx") as f:
+        for line in f:
+            if line.startswith("%"):
+                continue
+            features_number, n_cb1, n_tot = (int(x) for x in line.split())
+            break
+        for line in f:
+            p = line.split()
+            entries.append((int(p[0]) - 1, int(p[1]) - 1,
+                            c_round(float(p[2]))))
+    if not entries:
+        raise SystemExit("Exiting because of fatal INPUT FILE error: no "
+                         "counts detected in " + input_prefix + "matrix.mtx"
+                         + "\nSOLUTION: check the formatting of the matrix file.")
+    entries.sort(key=lambda e: (e[1], e[0]))  # funCompareTypeSecondFirst
+
+    proc = SoloFeatureProc.__new__(SoloFeatureProc)
+    proc.ft = -1
+    proc.P = P
+    proc.features_number = features_number
+    proc.conf = DedupConf(["1MM_All"], "-", ["Unique"], 1)
+    proc.trm = None
+    cells = sorted({e[1] for e in entries})
+    cell_idx = {c: i for i, c in enumerate(cells)}
+    # reference quirk: loadRawMatrix's second counting loop leaves nCB at
+    # nCells-1 (SoloFeature_loadRawMatrix.cpp:110-119), so cellFiltering
+    # silently drops the highest-indexed cell; arrays keep full length
+    # (nUMIperCBsorted still includes it) — replicated for byte-identity
+    proc.n_cb = len(cells) - 1
+    proc.ind_cb = np.array(cells, dtype=np.int64)
+    proc.ind_cb_wl = np.full(n_cb1, -1, dtype=np.int64)
+    proc.ind_cb_wl[proc.ind_cb] = np.arange(len(cells))
+    proc.rows_per_cb = [[] for _ in range(len(cells))]
+    proc.n_umi_per_cb = np.zeros(len(cells), dtype=np.int64)
+    proc.n_gene_per_cb = np.zeros(len(cells), dtype=np.int64)
+    for (g, c, n) in entries:
+        icb = cell_idx[c]
+        proc.rows_per_cb[icb].append([g, n])
+        proc.n_umi_per_cb[icb] += n
+        proc.n_gene_per_cb[icb] += 1
+
+    class _BC:
+        pass
+    proc.bc = _BC()
+    with open(input_prefix + "barcodes.tsv") as f:
+        proc.bc.wl_str = [l.rstrip("\n") for l in f][:n_cb1]
+
+    os.makedirs(os.path.dirname(out_prefix + "x") or ".", exist_ok=True)
+    shutil.copyfile(input_prefix + "features.tsv", out_prefix + "features.tsv")
+    proc.count_mat_stride = 2  # [gene, count] rows; only iCol=1 is written
+    proc.cell_filtering(P, out_prefix, None)
+
+
 BAR_STATS = ["noNoAdapter", "noNoUMI", "noNoCB", "noNinCB", "noNinUMI",
              "noUMIhomopolymer", "noNoWLmatch", "noTooManyMM",
              "noTooManyWLmatches", "yesWLmatchExact", "yesOneWLmatchWithMM",

@@ -77,3 +77,20 @@ def test_solo_multifeature(tmp_path):
                     "Velocyto", "--soloCellReadStats", "Standard"])
     align_reads(P, use_device=False)
     _diff_tree(os.path.join(GOLD, "solo_feat", "Solo.out"), prefix + "Solo.out")
+
+
+def test_solo_cell_filtering_runmode(tmp_path):
+    """--runMode soloCellFiltering: re-filter a raw matrix (EmptyDrops_CR),
+    incl. the reference's nCB off-by-one that drops the last-indexed cell"""
+    from star_tpu.params import Parameters
+    from star_tpu.run import main as star_main
+    out = str(tmp_path) + "/out_"
+    star_main(["--runMode", "soloCellFiltering",
+               os.path.join(G3, "mgumi", "Solo.out", "Gene", "raw"), out,
+               "--soloCellFilter", "EmptyDrops_CR", "8", "0.99", "10", "100",
+               "400", "10", "0.01", "200", "0.01", "300",
+               "--outFileNamePrefix", str(tmp_path) + "/log_"])
+    for f in ["barcodes.tsv", "features.tsv", "matrix.mtx"]:
+        with open(os.path.join(G3, "cellfilt", "out_" + f)) as a, \
+             open(out + f) as b:
+            assert a.read() == b.read(), f

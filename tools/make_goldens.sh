@@ -143,3 +143,10 @@ $STAR $solo3common --outFileNamePrefix "$G3/mgumicr/" \
       --soloUMIfiltering MultiGeneUMI_CR --soloUMIdedup 1MM_CR > /dev/null
 find "$G3" -name "_STARtmp" -type d -exec rm -rf {} + 2>/dev/null || true
 find "$G3" \( -name "Log.out" -o -name "Log.progress.out" -o -name "gg_*" \) -delete || true
+
+# 16. soloCellFiltering runMode (re-filter a raw matrix, EmptyDrops_CR)
+rm -rf "$G3/cellfilt"; mkdir -p "$G3/cellfilt"
+$STAR --runMode soloCellFiltering "$G3/mgumi/Solo.out/Gene/raw" "$G3/cellfilt/out_" \
+      --soloCellFilter EmptyDrops_CR 8 0.99 10 100 400 10 0.01 200 0.01 300 \
+      --outFileNamePrefix "$G3/cellfilt/" > /dev/null
+rm -rf "$G3/cellfilt/_STARtmp" "$G3/cellfilt/Log.out" "$G3/cellfilt/Log.progress.out"
