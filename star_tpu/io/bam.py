@@ -117,14 +117,15 @@ def attr_array(tag: str, typ: str, vals) -> bytes:
     return out
 
 
-def bam_header_bytes(gi, P, cmd_line: str = "", chr_names=None, chr_lens=None) -> bytes:
+def bam_header_bytes(gi, P, cmd_line: str = "", chr_names=None, chr_lens=None,
+                     sorted_coord: bool = False) -> bytes:
     from .sam import sam_header
     if gi is None:
         text = b"@HD\tVN:1.4\n" + b"".join(
             f"@SQ\tSN:{n}\tLN:{l}\n".encode()
             for n, l in zip(chr_names, chr_lens))
     else:
-        text = sam_header(gi, P, cmd_line).encode()
+        text = sam_header(gi, P, cmd_line, sorted_coord).encode()
     names = chr_names if chr_names is not None else gi.chr_name
     lens = chr_lens if chr_lens is not None else [int(x) for x in gi.chr_length]
     out = BAM_MAGIC + struct.pack("<i", len(text)) + text
@@ -265,6 +266,11 @@ def encode_mapped(tr, res, n_tr_out, i_tr, gi, P, attrs_order=None) -> List[byte
                 mops = _cigar_ops(tr, 1 - imate, i_ex_mate, left_mate, res)[0]
                 mc = "".join(f"{l}{'MIDNSHP=X'[op]}" for op, l in mops)
                 attrs += attr_str("MC", mc)
+            else:
+                from .sam import solo_attr_value
+                v = solo_attr_value(attr, res, i_tr, P)
+                if v is not None:
+                    attrs += attr_str(attr, v)
 
         flag_final = (sam_flag & P.outSAMflagAND) | P.outSAMflagOR
         core = struct.pack(
@@ -328,6 +334,11 @@ def encode_unmapped(res, gi, P, mate_mapped) -> List[bytes]:
         attrs = (attr_int("NH", 0) + attr_int("HI", 0)
                  + attr_int("AS", tb.maxScore) + attr_int("nM", tb.nMM)
                  + attr_char("uT", str(res.unmap_type)))
+        from .sam import solo_attr_value
+        for attr in P.samAttrOrder:
+            v = solo_attr_value(attr, res, 0, P)
+            if v is not None:
+                attrs += attr_str(attr, v)
         core = struct.pack(
             "<iiIIiiii", -1, -1,
             (reg2bin(-1, 0) << 16) | len(name),
@@ -354,11 +365,12 @@ class BamCollector:
         hdr = bam_header_bytes(gi, P)
         if self.unsorted:
             self.unsorted.write(hdr)
-        self._hdr = hdr
+        self._hdr = bam_header_bytes(gi, P, sorted_coord=True)
         self.i_read = 0
 
     def add_read(self, res):
         P, gi = self.P, self.gi
+        self.i_read = getattr(res, "i_read_all", self.i_read)
         recs = []
         if res.unmap_type < 0:
             n_out = min(res.n_tr if P.outSAMmultNmax == -1 else P.outSAMmultNmax, res.n_tr)
@@ -384,13 +396,31 @@ class BamCollector:
             if self.coord is not None:
                 self.coord.append((c, p, key, r))
 
-    def finish(self):
+    def finish(self, solo_tags=None):
+        """solo_tags: (read_info, wl_str, umi_l) to append CB/UB during the
+        coordinate sort (reference SoloFeature_addBAMtags.cpp, hooked in
+        BAMbinSortByCoordinate; the unmapped bin gets no tags)"""
         if self.unsorted:
             self.unsorted.close()
         if self.coord is not None:
             self.coord.sort(key=lambda t: (t[0], t[1], t[2]))
             w = BgzfWriter(self.coord_path)
             w.write(self._hdr)
-            for (_, _, _, r) in self.coord:
+            for (c, _, key, r) in self.coord:
+                if solo_tags is not None and c < (1 << 30):
+                    r = _add_cb_ub(r, key >> 16, *solo_tags)
                 w.write(r)
             w.close()
+
+
+def _add_cb_ub(rec: bytes, iread: int, read_info, wl_str, umi_l) -> bytes:
+    info = read_info.get(iread)
+    cb = umi = "-"
+    if info is not None:
+        if info[0] != -1:
+            cb = wl_str[info[0]]
+        if info[1] != (1 << 32) - 1:
+            umi = "".join("ACGT"[(info[1] >> (2 * (umi_l - 1 - i))) & 3]
+                          for i in range(umi_l))
+    body = rec[4:] + attr_str("CB", cb) + attr_str("UB", umi)
+    return struct.pack("<I", len(body)) + body

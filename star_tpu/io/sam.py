@@ -20,8 +20,9 @@ def revcomp_str(s: str) -> str:
     return "".join(_RC.get(c, "N") for c in reversed(s))
 
 
-def sam_header(gi, P, cmd_line: str = "") -> str:
-    out = ["@HD\tVN:1.4"]
+def sam_header(gi, P, cmd_line: str = "", sorted_coord: bool = False) -> str:
+    # sorted BAM gets SO:coordinate on @HD (reference samHeaders.cpp:100)
+    out = ["@HD\tVN:1.4" + ("\tSO:coordinate" if sorted_coord else "")]
     for name, length in zip(gi.chr_name, gi.chr_length):
         out.append(f"@SQ\tSN:{name}\tLN:{int(length)}")
     from .. import __version__
@@ -32,6 +33,31 @@ def sam_header(gi, P, cmd_line: str = "") -> str:
     if cmd_line:
         out.append(f"@CO\tuser command line: {cmd_line}")
     return "\n".join(out) + "\n"
+
+
+def solo_attr_value(attr: str, res, i_tr: int, P):
+    """value for STARsolo SAM attributes (reference ReadAlign_alignBAM.cpp
+    ATTR_CR/CY/UR/UY/GX/GN/gx/gn cases); None if not a solo attr"""
+    if attr in ("CR", "CY", "UR", "UY"):
+        bar = getattr(res, "solo_bar", None)
+        if bar is None:
+            return None
+        return bar[("CR", "CY", "UR", "UY").index(attr)]
+    if attr not in ("GX", "GN", "gx", "gn"):
+        return None
+    trm = getattr(P, "_solo_trm", None)
+    if trm is None:
+        return None
+    fa = getattr(res, "solo_falign", None) or []
+    names = trm.gene_id if attr in ("GX", "gx") else trm.gene_name
+    if attr in ("GX", "GN"):
+        fs = getattr(res, "solo_fset", None) or set()
+        g = -1
+        if len(fs) == 1 and i_tr < len(fa) and len(fa[i_tr]) == 1:
+            g = next(iter(fa[i_tr]))
+        return "-" if g < 0 else names[g]
+    gl = sorted(fa[i_tr]) if i_tr < len(fa) else []
+    return ";".join(names[g] for g in gl) or "-"
 
 
 def _mapq(n_tr: int, P) -> int:
@@ -93,6 +119,10 @@ def unmapped_sam(res: ReadResult, gi, P, mate_mapped) -> str:
               res.quals[imate] if res.read_file_type == 2 else "*",
               "NH:i:0", "HI:i:0", f"AS:i:{tb.maxScore}", f"nM:i:{tb.nMM}",
               f"uT:A:{res.unmap_type}"]
+        for attr in P.samAttrOrder:
+            v = solo_attr_value(attr, res, 0, P)
+            if v is not None:
+                f.append(f"{attr}:Z:{v}")
         lines.append("\t".join(f))
     return "\n".join(lines)
 
@@ -209,6 +239,10 @@ def transcript_sam(tr: Transcript, res: ReadResult, n_tr_out: int, i_tr: int,
             elif attr == "MC":
                 if n_mates > 1:
                     f.append(f"MC:Z:{mate_cigars[1 - imate]}")
+            else:
+                v = solo_attr_value(attr, res, i_tr, P)
+                if v is not None:
+                    f.append(f"{attr}:Z:{v}")
         lines.append("\t".join(f))
     return "\n".join(lines)
 

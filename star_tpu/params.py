@@ -301,6 +301,22 @@ class Parameters:
         elif attrs == ["None"]:
             attrs = []
         self.samAttrOrder = attrs
+        for a in ("ch", "CR", "CY", "UR", "UY", "CB", "UB", "sM", "sS", "sQ",
+                  "GX", "GN"):  # Parameters_samAttributes.cpp:226-242
+            if a in attrs and not (self.outBAMunsorted or self.outBAMcoord):
+                raise SystemExit(
+                    f"EXITING because of fatal PARAMETER error: "
+                    f"--outSAMattributes contains {a} tag, which requires BAM "
+                    f"output.\nSOLUTION: re-run STAR with --outSAMtype BAM "
+                    f"Unsorted (and/or) SortedByCoordinate option, or without "
+                    f"{a} tag in --outSAMattributes")
+        self.outSAMattrCBUB = "CB" in attrs or "UB" in attrs
+        if self.outSAMattrCBUB and "SortedByCoordinate" not in self.outSAMtype:
+            raise SystemExit(
+                "EXITING because of fatal PARAMETERS error: CB and/or UB "
+                "attributes in --outSAMattributes can only be output in the "
+                "sorted BAM file.\nSOLUTION: re-run STAR with --outSAMtype "
+                "BAM SortedByCoordinate ...")
         self.quantModeGeneCounts = "GeneCounts" in self.quantMode
         self.quantModeTrSAM = "TranscriptomeSAM" in self.quantMode
         ban = self.quantTranscriptomeBan

@@ -176,6 +176,7 @@ def _run_mapping(P: Parameters, gi: GenomeIndex, use_device=None) -> RunStats:
         from .solo.solo import Solo
         trm_solo = Transcriptome.load(getattr(P, "trInfoDir", P.genomeDir))
         solo = Solo(gi, P, trm_solo)
+        P._solo_trm = trm_solo
 
     chim_stream = None
     chim_lines = []
@@ -240,7 +241,10 @@ def _run_mapping(P: Parameters, gi: GenomeIndex, use_device=None) -> RunStats:
             if res.unmap_type <= 0 and _has_novel_junction(res):
                 stats.read_n -= 1
                 stats.read_bases -= sum(len(s) for s in res.seqs)
-                held.append((res.name, res.seqs, res.quals, res.read_file_type))
+                held.append((res.name, res.seqs, res.quals,
+                             res.read_file_type,
+                             getattr(res, "i_read_all", 0),
+                             getattr(res, "solo_bc", None)))
                 continue
         emit(res, None)
 
@@ -254,9 +258,11 @@ def _run_mapping(P: Parameters, gi: GenomeIndex, use_device=None) -> RunStats:
         P2.outFilterBySJoutStage = 2
         aligner = ReadAligner(gi, P2)
         aligner.sj_novel = (starts, ends)
-        for name, seqs, quals, ftype in held:
+        for name, seqs, quals, ftype, iread, solo_bc in held:
             res = aligner.align_read(name, seqs, quals)
             res.read_file_type = ftype
+            res.i_read_all = iread
+            res.solo_bc = solo_bc
             stats.add_read(res)
             emit(res, None)
         P.outFilterBySJoutStage = 2  # final SJ output skips distance filter
@@ -275,8 +281,23 @@ def _run_mapping(P: Parameters, gi: GenomeIndex, use_device=None) -> RunStats:
                     f.write(line + "\n")
     if tr_sam is not None:
         tr_sam[3].close()
+    # Solo counting runs before the coordinate sort so CB/UB tags can be
+    # injected into sorted records (reference STAR.cpp:255 vs :272)
+    solo_tags = None
+    if solo is not None:
+        import numpy as np
+        sj_rows = sj.collapse_and_filter()
+        sj_all = (np.array([r[0] for r in sj_rows], dtype=np.int64),
+                  np.array([r[1] for r in sj_rows], dtype=np.int64))
+        run_stats = {"readN": stats.read_n,
+                     "mappedU": stats.mapped_reads_u,
+                     "mappedUM": stats.mapped_reads_u + stats.mapped_reads_m}
+        solo.process(prefix + "Solo.out/", run_stats, sj_all)
+        if P.outSAMattrCBUB:
+            proc = solo.procs[solo.sam_attr_feature]
+            solo_tags = (proc.read_info, solo.bc.wl_str, solo.bc.umi_l)
     if bam is not None:
-        bam.finish()
+        bam.finish(solo_tags)
         if P.outWigType[0] != "None" and P.outBAMcoord:
             from .io.signal import signal_from_bam
             signal_from_bam(prefix + "Aligned.sortedByCoord.out.bam",
@@ -287,15 +308,6 @@ def _run_mapping(P: Parameters, gi: GenomeIndex, use_device=None) -> RunStats:
         n_unmapped = (stats.unmapped_mm + stats.unmapped_short
                       + stats.unmapped_other + stats.unmapped_multi)
         gene_counts.write(prefix + "ReadsPerGene.out.tab", n_unmapped)
-    if solo is not None:
-        import numpy as np
-        sj_rows = sj.collapse_and_filter()
-        sj_all = (np.array([r[0] for r in sj_rows], dtype=np.int64),
-                  np.array([r[1] for r in sj_rows], dtype=np.int64))
-        run_stats = {"readN": stats.read_n,
-                     "mappedU": stats.mapped_reads_u,
-                     "mappedUM": stats.mapped_reads_u + stats.mapped_reads_m}
-        solo.process(prefix + "Solo.out/", run_stats, sj_all)
     if chim_stream is not None and P.chimOutTypeJunctions:
         with open(prefix + "Chimeric.out.junction", "w") as f:
             if P.chimOutJunctionFormat == 1:
@@ -368,6 +380,7 @@ def _align_all(P: Parameters, gi: GenomeIndex, stats: RunStats, use_device: bool
                 break
             res = aligner.align_read(name, seqs, quals)
             res.read_file_type = ftype
+            res.i_read_all = n
             stats.add_read(res)
             n += 1
             yield res

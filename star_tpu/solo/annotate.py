@@ -41,6 +41,7 @@ class ReadAnnot:
 
     def __init__(self):
         self.fset: Dict[int, Set[int]] = {}
+        self.falign: Dict[int, List[Set[int]]] = {}  # per-alignment gene sets
         self.ov_type: Dict[int, int] = {}
         self.transcript_concordant: List[Tuple[int, int]] = []
         self.tr_velocyto: List[Tuple[int, int]] = []  # (tr, type bits)
@@ -169,6 +170,7 @@ def classify_align(trm, transcripts, n_tr: int, strand: int,
     """reference Transcriptome::classifyAlign: Gene fset + transcriptConcordant
     + per-transcript velocyto types."""
     fset: Set[int] = set()
+    falign: List[Set[int]] = [set() for _ in range(n_tr)]
     re_ge = -2
     re_ann = 0
     for iag in range(n_tr):
@@ -195,6 +197,7 @@ def classify_align(trm, transcripts, n_tr: int, strand: int,
                     dist_tts = dist[1] if trm.tr_str[tr1] == 1 else dist[0]
                     annot.transcript_concordant.append((tr1, dist_tts))
                     fset.add(int(trm.tr_gene[tr1]))
+                    falign[iag].add(int(trm.tr_gene[tr1]))
                 if velocyto_yes and n_tr == 1:
                     status = align_to_transcript_min_overlap(
                         a, int(trm.tr_s[tr1]), ex_se, ex_n, 6)
@@ -214,6 +217,7 @@ def classify_align(trm, transcripts, n_tr: int, strand: int,
             if not (trm.tr_emax[tr1] >= a_gend and tr1 > 0):
                 break
     annot.fset[FT_GENE] = fset
+    annot.falign[FT_GENE] = falign
     annot.ov_type[FT_GENE] = OV_EXONIC if fset else OV_NONE
 
 
@@ -221,6 +225,7 @@ def gene_full_overlap(trm, transcripts, n_tr: int, strand: int,
                       annot: ReadAnnot):
     """reference Transcriptome::geneFullAlignOverlap (gene-span block overlap)"""
     fset: Set[int] = set()
+    falign: List[Set[int]] = [set() for _ in range(n_tr)]
     for ia in range(n_tr):
         a = transcripts[ia]
         for ib in range(a.nExons - 1, -1, -1):
@@ -231,8 +236,10 @@ def gene_full_overlap(trm, transcripts, n_tr: int, strand: int,
                     str1 = a.Str if trm.gf_str[gi1] == 1 else 1 - a.Str
                     if strand == -1 or strand == str1:
                         fset.add(int(trm.gf_g[gi1]))
+                        falign[ia].add(int(trm.gf_g[gi1]))
                 gi1 -= 1
     annot.fset[FT_GENEFULL] = fset
+    annot.falign[FT_GENEFULL] = falign
     # geneFullAlignOverlap does NOT set ovType ("exonic/intronic
     # determination is not done", Transcriptome_geneFullAlignOverlap.cpp:7)
     annot.ov_type[FT_GENEFULL] = OV_NONE
@@ -245,9 +252,12 @@ def gene_full_exon_over_intron(trm, transcripts, n_tr: int, strand: int,
     gene_fset = annot.fset.get(FT_GENE, set())
     if gene_fset:
         annot.fset[FT_GENEFULL_EXONOVERINTRON] = set(gene_fset)
+        annot.falign[FT_GENEFULL_EXONOVERINTRON] = [
+            set(s) for s in annot.falign.get(FT_GENE, [])]
         annot.ov_type[FT_GENEFULL_EXONOVERINTRON] = OV_EXONIC
         return
     fset: Set[int] = set()
+    falign: List[Set[int]] = [set() for _ in range(n_tr)]
     for ia in range(n_tr):
         a = transcripts[ia]
         a_s = a.exons[0][1]
@@ -258,8 +268,10 @@ def gene_full_exon_over_intron(trm, transcripts, n_tr: int, strand: int,
                 str1 = a.Str if trm.gf_str[gi1] == 1 else 1 - a.Str
                 if strand == -1 or strand == str1:
                     fset.add(int(trm.gf_g[gi1]))
+                    falign[ia].add(int(trm.gf_g[gi1]))
             gi1 -= 1
     annot.fset[FT_GENEFULL_EXONOVERINTRON] = fset
+    annot.falign[FT_GENEFULL_EXONOVERINTRON] = falign
     annot.ov_type[FT_GENEFULL_EXONOVERINTRON] = OV_INTRONIC if fset else OV_NONE
 
 
@@ -300,7 +312,7 @@ def align_exon_overlap(trm, transcripts, n_tr: int, strand: int,
                        annot: ReadAnnot):
     """reference Transcriptome::alignExonOverlap (GeneFull_Ex50pAS):
     prioritized overlap classes; antisense classes are not counted."""
-    infos = []  # (gene, overlap-type bools[6])
+    infos = []  # (gene, iag, overlap-type bools[6])
     ot_as = [False, True, False, True, False, True]
     for iag in range(n_tr):
         a = transcripts[iag]
@@ -322,7 +334,7 @@ def align_exon_overlap(trm, transcripts, n_tr: int, strand: int,
                     a, ex_n, trm.ex_se[2 * i0:2 * (i0 + ex_n)], int(trm.tr_s[tr1]))
                 if n_ov >= 0:
                     exl = sum(a.exons[iex][2] for iex in range(a.nExons))
-                    infos.append((int(trm.tr_gene[tr1]),
+                    infos.append((int(trm.tr_gene[tr1]), iag,
                                   [str1 and n_ov == exl and sjc,
                                    (not str1) and n_ov == exl and sjc,
                                    str1 and n_ov > exl // 2,
@@ -332,7 +344,7 @@ def align_exon_overlap(trm, transcripts, n_tr: int, strand: int,
             if not (trm.tr_emax[tr1] >= a_gend and tr1 > 0):
                 break
     ot_final = [False] * 6
-    for (g, ot) in infos:
+    for (g, ia, ot) in infos:
         for it in range(6):
             if ot[it]:
                 ot_final[it] = True
@@ -346,15 +358,18 @@ def align_exon_overlap(trm, transcripts, n_tr: int, strand: int,
             break
     annot.ov_type[FT_GENEFULL_EX50PAS] = ov
     fset: Set[int] = set()
+    falign: List[Set[int]] = [set() for _ in range(n_tr)]
     for it in range(6):
         if ot_final[it]:
             if ot_as[it]:
                 break  # antisense reads are not counted
-            for (g, ot) in infos:
+            for (g, ia, ot) in infos:
                 if ot[it]:
                     fset.add(g)
+                    falign[ia].add(g)
             break
     annot.fset[FT_GENEFULL_EX50PAS] = fset
+    annot.falign[FT_GENEFULL_EX50PAS] = falign
 
 
 def extract_splice_junctions(a) -> Tuple[List[Tuple[int, int]], bool]:

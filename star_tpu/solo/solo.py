@@ -240,9 +240,18 @@ class Solo:
         self.read_info_yes = {ft: False for ft in self.features}
         if FT_VELOCYTO in self.features:
             self.read_info_yes[FT_GENE] = True
-        self.sam_attr_feature = None
+        self.sam_attr_feature = self.features[0]
         if getattr(P, "outSAMattrCBUB", False):
-            self.sam_attr_feature = self.features[0]
+            if self.sam_attr_feature not in (FT_GENE, FT_GENEFULL,
+                                             FT_GENEFULL_EXONOVERINTRON,
+                                             FT_GENEFULL_EX50PAS):
+                raise SystemExit(
+                    "EXITING because of fatal PARAMETERS error: CB and/or UB "
+                    "attributes in --outSAMattributes require --soloFeatures "
+                    "Gene OR/AND GeneFull OR/AND GeneFull_Ex50pAS.\nSOLUTION: "
+                    "re-run STAR adding Gene AND/OR GeneFull OR/AND "
+                    "GeneFull_Ex50pAS OR/AND GeneFull_ExonOverIntron to "
+                    "--soloFeatures")
             self.read_info_yes[self.sam_attr_feature] = True
         read_stats_all = getattr(P, "soloCellReadStats", "None") == "Standard"
         self.read_stats_yes = {ft: (read_stats_all and ft not in (FT_SJ, FT_VELOCYTO))
@@ -271,6 +280,11 @@ class Solo:
         self.n_reads += 1
         cb_match, matches, umi = self.bc.get_cb_umi(b_seq, b_qual)
         bc = self.bc
+        # raw barcode attrs for SAM CR/CY/UR/UY (alignBAM ATTR_CR etc.)
+        res.solo_bar = (b_seq[bc.cb_s:bc.cb_s + bc.cb_l],
+                        b_qual[bc.cb_s:bc.cb_s + bc.cb_l],
+                        b_seq[bc.umi_s:bc.umi_s + bc.umi_l],
+                        b_qual[bc.umi_s:bc.umi_s + bc.umi_l])
         q = b_qual[bc.cb_s:bc.cb_s + bc.cb_l] + b_qual[bc.umi_s:bc.umi_s + bc.umi_l]
         self.q30_bc[1] += len(q)
         self.q30_bc[0] += sum(1 for c in q if ord(c) >= 33 + 30)
@@ -304,6 +318,8 @@ class Solo:
             chr_names = [gi.chr_name[int(gi.chr_bin[res.transcripts[i].exons[0][1]
                                                     >> gi.chr_bin_nbits])]
                          for i in range(n_tr)]
+        res.solo_falign = annot.falign.get(self.sam_attr_feature)
+        res.solo_fset = annot.fset.get(self.sam_attr_feature)
         for ft in self.features:
             self.recorders[ft].record(annot, n_tr, res.transcripts, i_read,
                                       cb_match, matches, umi, chr_names)

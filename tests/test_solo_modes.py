@@ -94,3 +94,53 @@ def test_solo_cell_filtering_runmode(tmp_path):
         with open(os.path.join(G3, "cellfilt", "out_" + f)) as a, \
              open(out + f) as b:
             assert a.read() == b.read(), f
+
+
+def _bam_records(path):
+    import gzip
+    import struct
+    data = gzip.decompress(open(path, "rb").read())
+    lt = struct.unpack("<i", data[4:8])[0]
+    off = 8 + lt
+    nref = struct.unpack("<i", data[off:off + 4])[0]
+    off += 4
+    for _ in range(nref):
+        ln = struct.unpack("<i", data[off:off + 4])[0]
+        off += 4 + ln + 4
+    out = []
+    while off < len(data):
+        bs = struct.unpack("<i", data[off:off + 4])[0]
+        out.append(data[off + 4:off + 4 + bs])
+        off += 4 + bs
+    return out
+
+
+def test_solo_bam_tags(tmp_path):
+    """CR/CY/UR/UY/GX/GN at alignment time, CB/UB injected during the
+    coordinate sort from Gene readInfo, gx/gn multi-gene lists"""
+    from star_tpu.params import Parameters
+    from star_tpu.run import align_reads
+    prefix = str(tmp_path) + "/"
+    base = ["--genomeDir", os.path.join(GOLD, "genome_idx_gtf"),
+            "--readFilesIn", os.path.join(DATA, "solo_cdna.fastq"),
+            os.path.join(DATA, "solo_bc.fastq"),
+            "--soloType", "CB_UMI_Simple",
+            "--soloCBwhitelist", os.path.join(DATA, "solo_wl.txt"),
+            "--soloCBstart", "1", "--soloCBlen", "16",
+            "--soloUMIstart", "17", "--soloUMIlen", "12"]
+    P = Parameters(base + ["--outFileNamePrefix", prefix,
+                           "--outSAMtype", "BAM", "SortedByCoordinate",
+                           "--outSAMattributes", "NH", "HI", "AS", "nM", "CR",
+                           "CY", "UR", "UY", "GX", "GN", "CB", "UB"])
+    align_reads(P, use_device=False)
+    g = os.path.join(GOLD, "solo_tags")
+    assert _bam_records(prefix + "Aligned.sortedByCoord.out.bam") == \
+        _bam_records(os.path.join(g, "Aligned.sortedByCoord.out.bam"))
+    P = Parameters(base + ["--outFileNamePrefix", prefix + "un_",
+                           "--outSAMtype", "BAM", "Unsorted",
+                           "--outSAMunmapped", "Within",
+                           "--outSAMattributes", "NH", "HI", "AS", "nM", "CR",
+                           "CY", "UR", "UY", "GX", "GN", "gx", "gn"])
+    align_reads(P, use_device=False)
+    assert _bam_records(prefix + "un_Aligned.out.bam") == \
+        _bam_records(os.path.join(g, "un_Aligned.out.bam"))

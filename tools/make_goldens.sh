@@ -150,3 +150,19 @@ $STAR --runMode soloCellFiltering "$G3/mgumi/Solo.out/Gene/raw" "$G3/cellfilt/ou
       --soloCellFilter EmptyDrops_CR 8 0.99 10 100 400 10 0.01 200 0.01 300 \
       --outFileNamePrefix "$G3/cellfilt/" > /dev/null
 rm -rf "$G3/cellfilt/_STARtmp" "$G3/cellfilt/Log.out" "$G3/cellfilt/Log.progress.out"
+
+# 17. solo SAM attributes: CR/CY/UR/UY/GX/GN + CB/UB (sorted) and gx/gn (unsorted)
+rm -rf "$GOLD/solo_tags"; mkdir -p "$GOLD/solo_tags"
+$STAR --genomeDir "$GOLD/genome_idx_gtf" --readFilesIn "$DATA/solo_cdna.fastq" "$DATA/solo_bc.fastq" \
+      --runThreadN 1 --outFileNamePrefix "$GOLD/solo_tags/" --soloType CB_UMI_Simple \
+      --soloCBwhitelist "$DATA/solo_wl.txt" --soloCBstart 1 --soloCBlen 16 \
+      --soloUMIstart 17 --soloUMIlen 12 --outSAMtype BAM SortedByCoordinate \
+      --outSAMattributes NH HI AS nM CR CY UR UY GX GN CB UB > /dev/null
+$STAR --genomeDir "$GOLD/genome_idx_gtf" --readFilesIn "$DATA/solo_cdna.fastq" "$DATA/solo_bc.fastq" \
+      --runThreadN 1 --outFileNamePrefix "$GOLD/solo_tags/un_" --soloType CB_UMI_Simple \
+      --soloCBwhitelist "$DATA/solo_wl.txt" --soloCBstart 1 --soloCBlen 16 \
+      --soloUMIstart 17 --soloUMIlen 12 --outSAMtype BAM Unsorted \
+      --outSAMattributes NH HI AS nM CR CY UR UY GX GN gx gn --outSAMunmapped Within > /dev/null
+rm -rf "$GOLD/solo_tags/un_Solo.out" "$GOLD/solo_tags/un_SJ.out.tab"
+find "$GOLD" -name "_STARtmp" -type d -exec rm -rf {} + 2>/dev/null || true
+find "$GOLD" \( -name "Log.out" -o -name "Log.progress.out" \) -delete || true
