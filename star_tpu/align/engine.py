@@ -38,6 +38,8 @@ class ReadResult:
     tr_best: Optional[Transcript] = None
     map_marker: int = 0
     read_length: List[int] = field(default_factory=list)
+    read_length_original: List[int] = field(default_factory=list)
+    clips: List[List[int]] = field(default_factory=lambda: [[0, 0], [0, 0]])
     lread: int = 0
     read_file_type: int = 2  # fastq
     all_win_tr: list = field(default_factory=list)
@@ -75,6 +77,22 @@ class ReadAligner:
         res = ReadResult(name=name, seqs=seqs, quals=quals)
         n_mates = len(seqs)
         mates = [encode_seq(s) for s in seqs]
+        res.read_length_original = [len(m) for m in mates] + [0] * (2 - n_mates)
+        res.clips = [[0, 0], [0, 0]]
+        if not hasattr(self, "clip_mates"):
+            from .clip import make_clip_mates
+            self.clip_mates = make_clip_mates(self.P, n_mates)
+        if self.clip_mates is not None:
+            # clip before alignment (reference readLoad.cpp:60-61); output
+            # keeps the original sequence with soft clips added in CIGAR
+            for im in range(n_mates):
+                m = mates[im]
+                lread, off5 = self.clip_mates[im][0].clip(m, len(m))
+                lread, _ = self.clip_mates[im][1].clip(m[off5:], lread)
+                c5 = self.clip_mates[im][0].clipped_n
+                c3 = self.clip_mates[im][1].clipped_n
+                res.clips[im] = [c5, c3]
+                mates[im] = m[c5:len(m) - c3]
         res.read_length = [len(m) for m in mates] + [0] * (2 - n_mates)
 
         if n_mates == 2:

@@ -138,12 +138,14 @@ def bam_header_bytes(gi, P, cmd_line: str = "", chr_names=None, chr_lens=None,
 
 def _cigar_ops(tr, imate, i_ex_mate, left_mate, res):
     """numeric CIGAR ops [(op,len)] for one mate; ops MIDNSHP=X -> 0..8"""
+    from .sam import clip_trim_l
     read_length = res.read_length
+    read_length_orig = getattr(res, "read_length_original", None) or read_length
     i_ex1 = 0 if imate == 0 else i_ex_mate + 1
     i_ex2 = i_ex_mate if imate == 0 else tr.nExons - 1
     mate = tr.exons[i_ex1][3]
     ops = []
-    trim_l = 0
+    trim_l = clip_trim_l(tr, mate, res)
     trim_l1 = trim_l + tr.exons[i_ex1][0] - (
         0 if tr.exons[i_ex1][0] < read_length[left_mate] else read_length[left_mate] + 1)
     if trim_l1 > 0:
@@ -159,8 +161,9 @@ def _cigar_ops(tr, imate, i_ex_mate, left_mate, res):
             elif gap_g > 0:
                 ops.append((2, gap_g))
         ops.append((0, tr.exons[ii][2]))
-    trim_r1 = (read_length[left_mate] if tr.exons[i_ex1][0] < read_length[left_mate]
-               else read_length[left_mate] + 1 + read_length[mate]) \
+    trim_r1 = (read_length_orig[left_mate]
+               if tr.exons[i_ex1][0] < read_length[left_mate]
+               else read_length[left_mate] + 1 + read_length_orig[mate]) \
         - tr.exons[i_ex2][0] - tr.exons[i_ex2][2] - trim_l
     if trim_r1 > 0:
         ops.append((4, trim_r1))

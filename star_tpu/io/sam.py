@@ -247,16 +247,26 @@ def transcript_sam(tr: Transcript, res: ReadResult, n_tr_out: int, i_tr: int,
     return "\n".join(lines)
 
 
+def clip_trim_l(tr, mate: int, res) -> int:
+    """left-side trim from clipping (reference outputTranscriptSAM.cpp:135-143)"""
+    clips = getattr(res, "clips", None)
+    if clips is None:
+        return 0
+    if tr.Str == 0:
+        return clips[mate][0] if mate == 0 else clips[mate][1]
+    return clips[mate][1] if mate == 0 else clips[mate][0]
+
+
 def _cigar(tr: Transcript, imate: int, i_ex_mate: int, left_mate: int, res, gi, P):
     read_length = res.read_length
-    # readLengthOriginal == readLength while clipping is off
+    read_length_orig = getattr(res, "read_length_original", None) or read_length
     i_ex1 = 0 if imate == 0 else i_ex_mate + 1
     i_ex2 = i_ex_mate if imate == 0 else tr.nExons - 1
     mate = tr.exons[i_ex1][3]
     parts = []
     sj_motif = []
     sj_intron = []
-    trim_l = 0  # clipping support pending
+    trim_l = clip_trim_l(tr, mate, res)
     trim_l1 = trim_l + tr.exons[i_ex1][0] - (
         0 if tr.exons[i_ex1][0] < read_length[left_mate] else read_length[left_mate] + 1)
     if trim_l1 > 0:
@@ -277,8 +287,9 @@ def _cigar(tr: Transcript, imate: int, i_ex_mate: int, left_mate: int, res, gi, 
             elif gap_g > 0:
                 parts.append(f"{gap_g}D")
         parts.append(f"{tr.exons[ii][2]}M")
-    trim_r1 = (read_length[left_mate] if tr.exons[i_ex1][0] < read_length[left_mate]
-               else read_length[left_mate] + 1 + read_length[mate]) \
+    trim_r1 = (read_length_orig[left_mate]
+               if tr.exons[i_ex1][0] < read_length[left_mate]
+               else read_length[left_mate] + 1 + read_length_orig[mate]) \
         - tr.exons[i_ex2][0] - tr.exons[i_ex2][2] - trim_l
     if trim_r1 > 0:
         parts.append(f"{trim_r1}S")
@@ -297,8 +308,10 @@ def _nm_md(tr: Transcript, i_ex1: int, i_ex2: int, res, gi):
     """NM/MD tags from base-level comparison (reference lines 242-276)."""
     from ..constants import encode_seq, COMPLEMENT
     import numpy as np
-    # rebuild combined numeric read in the transcript's strand frame
-    seqs = res.seqs
+    # rebuild combined numeric read (clipped frame) in the transcript's strand
+    clips = getattr(res, "clips", [[0, 0], [0, 0]])
+    seqs = [s[clips[i][0]:len(s) - clips[i][1]]
+            for i, s in enumerate(res.seqs)]
     mates = [encode_seq(s) for s in seqs]
     from ..constants import MARK_FRAG_SPACER_BASE
     if len(mates) == 2:

@@ -192,6 +192,16 @@ _DEFS: List[ParamDef] = [d for d in [
     ParamDef("chimOutType", "str_list", ["Junctions"]),
     ParamDef("chimMultimapNmax", "int", 0),
     ParamDef("chimNonchimScoreDropMin", "int", 20),
+    # clipping
+    ParamDef("clipAdapterType", "str_list", ["Hamming"]),
+    ParamDef("clip3pNbases", "int_list", [0]),
+    ParamDef("clip3pAdapterSeq", "str_list", ["-"]),
+    ParamDef("clip3pAdapterMMp", "str_list", ["0.1"]),
+    ParamDef("clip3pAfterAdapterNbases", "int_list", [0]),
+    ParamDef("clip5pNbases", "int_list", [0]),
+    ParamDef("clip5pAdapterSeq", "str_list", ["-"]),
+    ParamDef("clip5pAdapterMMp", "str_list", ["0.1"]),
+    ParamDef("clip5pAfterAdapterNbases", "int_list", [0]),
     # solo (accepted now; engine support lands with the solo subsystem)
     ParamDef("soloType", "str_list", ["None"]),
     ParamDef("soloCBstart", "int_list", [1]),

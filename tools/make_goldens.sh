@@ -166,3 +166,15 @@ $STAR --genomeDir "$GOLD/genome_idx_gtf" --readFilesIn "$DATA/solo_cdna.fastq" "
 rm -rf "$GOLD/solo_tags/un_Solo.out" "$GOLD/solo_tags/un_SJ.out.tab"
 find "$GOLD" -name "_STARtmp" -type d -exec rm -rf {} + 2>/dev/null || true
 find "$GOLD" \( -name "Log.out" -o -name "Log.progress.out" \) -delete || true
+
+# 18. read clipping (reads_clip.fastq generated inline in repo history)
+rm -rf "$GOLD/clip"; mkdir -p "$GOLD/clip"
+$STAR --genomeDir "$GOLD/genome_idx" --readFilesIn "$DATA/reads_clip.fastq" --runThreadN 1 \
+      --outFileNamePrefix "$GOLD/clip/ham_" --outSAMunmapped Within \
+      --clip3pAdapterSeq AGATCGGAAGAGC --clip5pNbases 3 --clip3pNbases 2 \
+      --clip3pAfterAdapterNbases 1 > /dev/null
+$STAR --genomeDir "$GOLD/genome_idx" --readFilesIn "$DATA/reads_clip.fastq" --runThreadN 1 \
+      --outFileNamePrefix "$GOLD/clip/cr4_" --outSAMunmapped Within \
+      --clipAdapterType CellRanger4 > /dev/null
+find "$GOLD/clip" -name "_STARtmp" -type d -exec rm -rf {} + 2>/dev/null || true
+rm -f "$GOLD"/clip/*Log.out "$GOLD"/clip/*Log.progress.out
