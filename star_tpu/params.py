@@ -192,6 +192,9 @@ _DEFS: List[ParamDef] = [d for d in [
     ParamDef("chimOutType", "str_list", ["Junctions"]),
     ParamDef("chimMultimapNmax", "int", 0),
     ParamDef("chimNonchimScoreDropMin", "int", 20),
+    ParamDef("peOverlapNbasesMin", "int", 0),
+    ParamDef("peOverlapMMp", "float", 0.01),
+    ParamDef("peOverlapSEmerge", "str", "no"),
     # clipping
     ParamDef("clipAdapterType", "str_list", ["Hamming"]),
     ParamDef("clip3pNbases", "int_list", [0]),

@@ -54,3 +54,18 @@ def test_log_final_stats_match(tmp_path):
         with open(path) as f:
             return [l for l in f][4:]  # skip timestamps/speed
     assert body(prefix + "Log.final.out") == body(os.path.join(GOLD, "se", "Log.final.out"))
+
+
+def test_pe_overlap_merge_map(tmp_path):
+    """--peOverlapNbasesMin: merge overlapping mates, remap as SE, convert
+    windows back to PE (reference ReadAlign_peOverlapMergeMap.cpp)"""
+    prefix = _run_align(tmp_path, os.path.join(GOLD, "genome_idx"),
+                        [os.path.join(DATA, "reads_peov_1.fastq"),
+                         os.path.join(DATA, "reads_peov_2.fastq")],
+                        extra=["--peOverlapNbasesMin", "10"])
+    got = _strip_header(prefix + "Aligned.out.sam")
+    want = _strip_header(os.path.join(GOLD, "peov", "Aligned.out.sam"))
+    assert got == want
+    with open(prefix + "SJ.out.tab") as a, \
+         open(os.path.join(GOLD, "peov", "SJ.out.tab")) as b:
+        assert a.read() == b.read()

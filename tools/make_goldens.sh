@@ -178,3 +178,11 @@ $STAR --genomeDir "$GOLD/genome_idx" --readFilesIn "$DATA/reads_clip.fastq" --ru
       --clipAdapterType CellRanger4 > /dev/null
 find "$GOLD/clip" -name "_STARtmp" -type d -exec rm -rf {} + 2>/dev/null || true
 rm -f "$GOLD"/clip/*Log.out "$GOLD"/clip/*Log.progress.out
+
+# 19. PE mate-overlap merge-remap
+rm -rf "$GOLD/peov"; mkdir -p "$GOLD/peov"
+$STAR --genomeDir "$GOLD/genome_idx" --readFilesIn "$DATA/reads_peov_1.fastq" "$DATA/reads_peov_2.fastq" \
+      --runThreadN 1 --outFileNamePrefix "$GOLD/peov/" --outSAMunmapped Within \
+      --peOverlapNbasesMin 10 > /dev/null
+find "$GOLD/peov" -name "_STARtmp" -type d -exec rm -rf {} + 2>/dev/null || true
+rm -f "$GOLD"/peov/Log.out "$GOLD"/peov/Log.progress.out
