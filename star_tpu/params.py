@@ -178,6 +178,8 @@ _DEFS: List[ParamDef] = [d for d in [
     ParamDef("outWigReferencesPrefix", "str", "-"),
     ParamDef("inputBAMfile", "str", "-"),
     ParamDef("bamRemoveDuplicatesType", "str", "-"),
+    ParamDef("bamRemoveDuplicatesMate2basesN", "int", 0),
+    ParamDef("outBAMcompression", "int", 1),
     # chimeric
     ParamDef("chimSegmentMin", "int", 0),
     ParamDef("chimScoreMin", "int", 0),

@@ -398,6 +398,10 @@ def main(argv=None):
         if P.outWigType[0] != "None":
             from .io.signal import signal_from_bam
             signal_from_bam(P.inputBAMfile, P.outFileNamePrefix + "Signal", P)
+        elif P.bamRemoveDuplicatesType != "-":
+            from .io.dedup import bam_remove_duplicates
+            bam_remove_duplicates(P.inputBAMfile,
+                                  P.outFileNamePrefix + "Processed.out.bam", P)
     else:
         align_reads(P)
 

@@ -60,3 +60,21 @@ def test_transcriptome_sam_golden(tmp_path, genome_index_gtf):
         os.path.join(GOLD, "se_trsam", "Aligned.toTranscriptome.out.bam"))
     assert refs_a == refs_b
     assert mine == want
+
+
+@pytest.mark.parametrize("dtype,pre", [("UniqueIdentical", ""),
+                                       ("UniqueIdenticalNotMulti", "nm_")])
+def test_bam_remove_duplicates(tmp_path, dtype, pre):
+    """--runMode inputAlignmentsFromBAM --bamRemoveDuplicatesType: 0x400
+    duplicate marking byte-identical (incl. group/pairing/unmark rules)"""
+    from star_tpu.run import main as star_main
+    prefix = str(tmp_path) + "/" + pre
+    star_main(["--runMode", "inputAlignmentsFromBAM",
+               "--inputBAMfile",
+               os.path.join(GOLD, "dedup", "Aligned.sortedByCoord.out.bam"),
+               "--bamRemoveDuplicatesType", dtype,
+               "--outFileNamePrefix", prefix])
+    _, got = read_bam_records(prefix + "Processed.out.bam")
+    _, want = read_bam_records(os.path.join(GOLD, "dedup",
+                                            pre + "Processed.out.bam"))
+    assert got == want

@@ -186,3 +186,14 @@ $STAR --genomeDir "$GOLD/genome_idx" --readFilesIn "$DATA/reads_peov_1.fastq" "$
       --peOverlapNbasesMin 10 > /dev/null
 find "$GOLD/peov" -name "_STARtmp" -type d -exec rm -rf {} + 2>/dev/null || true
 rm -f "$GOLD"/peov/Log.out "$GOLD"/peov/Log.progress.out
+
+# 20. BAM duplicate marking (inputAlignmentsFromBAM + bamRemoveDuplicatesType)
+rm -rf "$GOLD/dedup"; mkdir -p "$GOLD/dedup"
+$STAR --genomeDir "$GOLD/genome_idx" --readFilesIn "$DATA/reads_dedup_1.fastq" "$DATA/reads_dedup_2.fastq" \
+      --runThreadN 1 --outFileNamePrefix "$GOLD/dedup/" --outSAMtype BAM SortedByCoordinate > /dev/null
+$STAR --runMode inputAlignmentsFromBAM --inputBAMfile "$GOLD/dedup/Aligned.sortedByCoord.out.bam" \
+      --bamRemoveDuplicatesType UniqueIdentical --outFileNamePrefix "$GOLD/dedup/" > /dev/null
+$STAR --runMode inputAlignmentsFromBAM --inputBAMfile "$GOLD/dedup/Aligned.sortedByCoord.out.bam" \
+      --bamRemoveDuplicatesType UniqueIdenticalNotMulti --outFileNamePrefix "$GOLD/dedup/nm_" > /dev/null
+find "$GOLD/dedup" -name "_STARtmp" -type d -exec rm -rf {} + 2>/dev/null || true
+rm -f "$GOLD"/dedup/*Log* "$GOLD"/dedup/*SJ.out.tab
