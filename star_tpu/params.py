@@ -59,6 +59,7 @@ _DEFS: List[ParamDef] = [d for d in [
     # sjdb
     ParamDef("sjdbFileChrStartEnd", "str_list", ["-"]),
     ParamDef("sjdbGTFfile", "str", "-"),
+    ParamDef("genomeChainFiles", "str_list", ["-"]),
     ParamDef("sjdbGTFchrPrefix", "str", "-"),
     ParamDef("sjdbGTFfeatureExon", "str", "exon"),
     ParamDef("sjdbGTFtagExonParentTranscript", "str", "transcript_id"),

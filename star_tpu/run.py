@@ -391,6 +391,9 @@ def main(argv=None):
     P = Parameters(argv)
     if "genomeGenerate" in P.runMode:
         genome_generate(P)
+    elif P.runMode[0] == "liftOver":
+        from .io.liftover import lift_over_main
+        lift_over_main(P)
     elif P.runMode[0] == "soloCellFiltering":
         from .solo.solo import solo_cell_filtering
         solo_cell_filtering(P)

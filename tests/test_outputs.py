@@ -33,3 +33,17 @@ def test_unmapped_fastx_golden(tmp_path, genome_index):
     for f in sorted(glob.glob(os.path.join(GOLD, "pe_unm", "Unmapped*"))):
         with open(prefix + os.path.basename(f)) as a, open(f) as b:
             assert a.read() == b.read(), f
+
+
+def test_liftover_golden(tmp_path):
+    """--runMode liftOver: GTF lift through chain file byte-identical
+    (Chain.cpp liftOverGTF), incl. gap-snap and unlifted edge cases."""
+    from star_tpu.run import main as star_main
+    gold = os.path.join(GOLD, "liftover")
+    star_main(["--runMode", "liftOver",
+               "--genomeChainFiles", os.path.join(DATA, "lift.chain"),
+               "--sjdbGTFfile", os.path.join(DATA, "lift.gtf"),
+               "--outFileNamePrefix", str(tmp_path) + "/"])
+    for f in ["GTFliftOver_1.gtf", "GTFliftOver_1.gtf.unlifted"]:
+        assert (tmp_path / f).read_text() == \
+            open(os.path.join(gold, f)).read()

@@ -197,3 +197,9 @@ $STAR --runMode inputAlignmentsFromBAM --inputBAMfile "$GOLD/dedup/Aligned.sorte
       --bamRemoveDuplicatesType UniqueIdenticalNotMulti --outFileNamePrefix "$GOLD/dedup/nm_" > /dev/null
 find "$GOLD/dedup" -name "_STARtmp" -type d -exec rm -rf {} + 2>/dev/null || true
 rm -f "$GOLD"/dedup/*Log* "$GOLD"/dedup/*SJ.out.tab
+
+# 21. liftOver runMode
+rm -rf "$GOLD/liftover"; mkdir -p "$GOLD/liftover"
+$STAR --runMode liftOver --genomeChainFiles "$DATA/lift.chain" \
+      --sjdbGTFfile "$DATA/lift.gtf" --outFileNamePrefix "$GOLD/liftover/" > /dev/null
+rm -f "$GOLD"/liftover/Log.out "$GOLD"/liftover/Log.progress.out
