@@ -43,6 +43,7 @@ class ReadResult:
     lread: int = 0
     read_file_type: int = 2  # fastq
     all_win_tr: list = field(default_factory=list)
+    wasp_type: int = -1  # vW tag class (ReadAlign.h:77); -1 = not output
     read1 = None
     read1rc = None
 
@@ -53,6 +54,8 @@ class ReadAligner:
     def __init__(self, gi: GenomeIndex, P):
         self.gi = gi
         self.P = P
+        self.var = getattr(gi, "var", None)
+        self.wasp_mode = False
         self.wb = WindowBuilder(gi, P)
         self.readLength = [0, 0]
         self.maxScoreMate = [0, 0]
@@ -194,8 +197,9 @@ class ReadAligner:
         res.read1 = reads[0]
         res.read1rc = reads[2]
 
-        # ---- PE mate-overlap merge-remap (reference peOverlapMergeMap)
-        if P.peOverlapNbasesMin > 0 and len(res.seqs) == 2:
+        # ---- PE mate-overlap merge-remap (reference peOverlapMergeMap);
+        # the WASP remap runs mapOneRead/multMapSelect/mappedFilter only
+        if P.peOverlapNbasesMin > 0 and len(res.seqs) == 2 and not self.wasp_mode:
             self._pe_overlap_merge_map(res, reads)
             all_win_tr = res.all_win_tr
             tr_best = res.tr_best
@@ -248,6 +252,13 @@ class ReadAligner:
             res.unmap_type = UNMAP_MULTIMAP
         else:
             res.unmap_type = -1
+
+        # ---- WASP allele-swap remap filter (reference waspMap, run after
+        # chimericDetection in oneRead; vW classes)
+        if (getattr(P, "waspYes", False) and not self.wasp_mode
+                and self.var is not None):
+            from .variation import wasp_map
+            res.wasp_type = wasp_map(self, res, reads)
         return res
 
     def _pe_overlap_merge_map(self, res: ReadResult, reads):

@@ -20,6 +20,7 @@ class Transcript:
         "nGap", "lGap", "nDel", "nIns", "lDel", "lIns",
         "nUnique", "nAnchor", "sjMotifStrand", "intronMotifs", "sjYes",
         "Lread",
+        "varInd", "varGenCoord", "varReadCoord", "varAllele",
     )
 
     def __init__(self):
@@ -61,6 +62,11 @@ class Transcript:
         self.intronMotifs = [0, 0, 0]
         self.sjYes = False
         self.Lread = 0
+        # SNP annotations (Transcript.h:56-58); None until variation_adjust
+        self.varInd = None
+        self.varGenCoord = None
+        self.varReadCoord = None
+        self.varAllele = None
         return self
 
     def copy(self) -> "Transcript":
@@ -99,6 +105,10 @@ class Transcript:
         t.sjYes = self.sjYes
         t.Lread = self.Lread
         t.intronMotifs = self.intronMotifs[:]
+        t.varInd = self.varInd[:] if self.varInd is not None else None
+        t.varGenCoord = self.varGenCoord[:] if self.varGenCoord is not None else None
+        t.varReadCoord = self.varReadCoord[:] if self.varReadCoord is not None else None
+        t.varAllele = self.varAllele[:] if self.varAllele is not None else None
         return t
 
     def add_counts(self, other: "Transcript"):

@@ -265,6 +265,17 @@ def encode_mapped(tr, res, n_tr_out, i_tr, gi, P, attrs_order=None) -> List[byte
                 if tag_nm is None:
                     tag_nm, tag_md = _nm_md(tr, i_ex1, i_ex2, res, gi)
                 attrs += attr_int("NM", tag_nm) if attr == "NM" else attr_str("MD", tag_md)
+            elif attr == "vA":
+                if tr.varAllele:
+                    attrs += attr_array("vA", "c", tr.varAllele)
+            elif attr == "vG":
+                if tr.varGenCoord:
+                    attrs += attr_array("vG", "i", tr.varGenCoord)
+            elif attr == "vW":
+                # fixed-width int32 'i' (BAMfunctions.cpp:106-111), not the
+                # smallest-width samtools form
+                if getattr(res, "wasp_type", -1) != -1:
+                    attrs += b"vWi" + struct.pack("<i", res.wasp_type)
             elif attr == "MC" and n_mates > 1:
                 mops = _cigar_ops(tr, 1 - imate, i_ex_mate, left_mate, res)[0]
                 mc = "".join(f"{l}{'MIDNSHP=X'[op]}" for op, l in mops)

@@ -178,6 +178,8 @@ _DEFS: List[ParamDef] = [d for d in [
     ParamDef("outWigNorm", "str", "RPM"),
     ParamDef("outWigReferencesPrefix", "str", "-"),
     ParamDef("inputBAMfile", "str", "-"),
+    ParamDef("varVCFfile", "str", "-"),
+    ParamDef("waspOutputMode", "str", "None"),
     ParamDef("bamRemoveDuplicatesType", "str", "-"),
     ParamDef("bamRemoveDuplicatesMate2basesN", "int", 0),
     ParamDef("outBAMcompression", "int", 1),
@@ -326,6 +328,25 @@ class Parameters:
                     f"output.\nSOLUTION: re-run STAR with --outSAMtype BAM "
                     f"Unsorted (and/or) SortedByCoordinate option, or without "
                     f"{a} tag in --outSAMattributes")
+        # WASP (Parameters.cpp:861-887)
+        self.waspYes = False
+        if self.waspOutputMode == "SAMtag":
+            self.waspYes = True
+        elif self.waspOutputMode != "None":
+            raise SystemExit(
+                "EXITING because of FATAL INPUT ERROR: unknown/unimplemented "
+                f"--waspOutputMode option: {self.waspOutputMode}\nSOLUTION: "
+                "re-run STAR with allowed --waspOutputMode options: None or SAMtag")
+        if self.waspYes and self.varVCFfile == "-":
+            raise SystemExit(
+                "EXITING because of FATAL INPUT ERROR: --waspOutputMode "
+                f"option requires VCF file: {self.waspOutputMode}\nSOLUTION: "
+                "re-run STAR with --waspOutputMode ... and --varVCFfile /path/to/file.vcf")
+        if self.waspYes and self.outSAMtype[0] != "BAM":
+            raise SystemExit(
+                "EXITING because of FATAL INPUT ERROR: --waspOutputMode "
+                "requires output to BAM file\nSOLUTION: re-run STAR with "
+                "--waspOutputMode ... and --outSAMtype BAM ... ")
         self.outSAMattrCBUB = "CB" in attrs or "UB" in attrs
         if self.outSAMattrCBUB and "SortedByCoordinate" not in self.outSAMtype:
             raise SystemExit(

@@ -126,6 +126,12 @@ def align_reads(P: Parameters, gi: Optional[GenomeIndex] = None, use_device=None
             base.sjdb_overhang = 100
         gi = insert_junctions(base, sjdb, P, out_dir=_tmp_dir(P))
 
+    # variation (VCF SNVs) for vA/vG tags and WASP (STAR.cpp:139-142)
+    if P.varVCFfile != "-":
+        from .align.variation import Variation
+        gi.var = Variation(
+            P, gi.chr_start, {n: i for i, n in enumerate(gi.chr_name)})
+
     return _run_mapping(P, gi, use_device)
 
 

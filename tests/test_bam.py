@@ -78,3 +78,25 @@ def test_bam_remove_duplicates(tmp_path, dtype, pre):
     _, want = read_bam_records(os.path.join(GOLD, "dedup",
                                             pre + "Processed.out.bam"))
     assert got == want
+
+
+@pytest.mark.parametrize("sub,extra", [
+    ("var", ["--outSAMattributes", "NH", "HI", "AS", "nM", "vA", "vG"]),
+    ("wasp", ["--outSAMattributes", "NH", "HI", "AS", "nM", "vA", "vG", "vW",
+              "--waspOutputMode", "SAMtag"]),
+])
+def test_variation_wasp_golden(tmp_path, sub, extra):
+    """--varVCFfile vA/vG SNP tags and --waspOutputMode SAMtag vW tags
+    byte-identical (Variation.cpp, Transcript_variationAdjust.cpp,
+    ReadAlign_waspMap.cpp); covers vW classes 1/2/7, het/hom genotypes,
+    multi-allelic 1|2, FORMAT extras, (-) strand conversion."""
+    from star_tpu.run import main as star_main
+    prefix = str(tmp_path) + "/"
+    star_main(["--genomeDir", os.path.join(GOLD, "genome_idx"),
+               "--readFilesIn", os.path.join(DATA, "reads_se.fastq"),
+               "--outFileNamePrefix", prefix, "--outSAMtype", "BAM", "Unsorted",
+               "--varVCFfile", os.path.join(DATA, "var.vcf"),
+               "--tpuUseDevice", "0"] + extra)
+    _, got = read_bam_records(prefix + "Aligned.out.bam")
+    _, want = read_bam_records(os.path.join(GOLD, sub, "Aligned.out.bam"))
+    assert got == want

@@ -203,3 +203,16 @@ rm -rf "$GOLD/liftover"; mkdir -p "$GOLD/liftover"
 $STAR --runMode liftOver --genomeChainFiles "$DATA/lift.chain" \
       --sjdbGTFfile "$DATA/lift.gtf" --outFileNamePrefix "$GOLD/liftover/" > /dev/null
 rm -f "$GOLD"/liftover/Log.out "$GOLD"/liftover/Log.progress.out
+
+# 22. Variation (vA/vG) and WASP (vW) BAM tags
+python tools/make_var_vcf.py
+rm -rf "$GOLD/wasp" "$GOLD/var"; mkdir -p "$GOLD/wasp" "$GOLD/var"
+$STAR --genomeDir "$GOLD/genome_idx" --readFilesIn "$DATA/reads_se.fastq" \
+      --runThreadN 1 --outFileNamePrefix "$GOLD/var/" --outSAMtype BAM Unsorted \
+      --outSAMattributes NH HI AS nM vA vG --varVCFfile "$DATA/var.vcf" > /dev/null
+$STAR --genomeDir "$GOLD/genome_idx" --readFilesIn "$DATA/reads_se.fastq" \
+      --runThreadN 1 --outFileNamePrefix "$GOLD/wasp/" --outSAMtype BAM Unsorted \
+      --outSAMattributes NH HI AS nM vA vG vW --varVCFfile "$DATA/var.vcf" \
+      --waspOutputMode SAMtag > /dev/null
+find "$GOLD/wasp" "$GOLD/var" -name "_STARtmp" -type d -exec rm -rf {} + 2>/dev/null || true
+rm -f "$GOLD"/wasp/*Log* "$GOLD"/wasp/*SJ.out.tab "$GOLD"/var/*Log* "$GOLD"/var/*SJ.out.tab
