@@ -225,6 +225,11 @@ _DEFS: List[ParamDef] = [d for d in [
     ParamDef("soloUMIfiltering", "str_list", ["-"]),
     ParamDef("soloMultiMappers", "str_list", ["Unique"]),
     ParamDef("soloCellReadStats", "str", "None"),
+    ParamDef("soloCBposition", "str_list", ["-"]),
+    ParamDef("soloUMIposition", "str", "-"),
+    ParamDef("soloAdapterSequence", "str", "-"),
+    ParamDef("soloAdapterMismatchesNmax", "int", 1),
+    ParamDef("readFilesManifest", "str_list", ["-"]),
     # framework-specific (no reference analog): device batching
     ParamDef("tpuBatchSize", "int", 4096),
     ParamDef("tpuUseDevice", "int", 1),

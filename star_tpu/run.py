@@ -177,7 +177,7 @@ def _run_mapping(P: Parameters, gi: GenomeIndex, use_device=None) -> RunStats:
     held = []
 
     solo = None
-    if P.soloTypeYes and P.soloType[0] == "CB_UMI_Simple":
+    if P.soloTypeYes and P.soloType[0] in ("CB_UMI_Simple", "CB_UMI_Complex"):
         from .quant.transcriptome import Transcriptome
         from .solo.solo import Solo
         trm_solo = Transcriptome.load(getattr(P, "trInfoDir", P.genomeDir))

@@ -178,7 +178,7 @@ class SoloFeatureProc:
 
     # ------------------------------------------------------------ sumThreads
     def sum_threads(self):
-        wl_size = len(self.bc.wl)
+        wl_size = self.bc.wl_size
         cnt = self.rf.cb_read_count
         self.n_cb = int(np.count_nonzero(cnt > 0))
         self.n_reads_mapped = int(cnt[cnt > 0].sum())
@@ -197,8 +197,8 @@ class SoloFeatureProc:
             self.features_number = len(self.sj_all[0])
 
         per_cb: Dict[int, List[Tuple[int, int, int]]] = {int(c): [] for c in self.ind_cb}
-        n_read_unique = np.zeros(len(self.bc.wl), dtype=np.int64)
-        n_read_multi = np.zeros(len(self.bc.wl), dtype=np.int64)
+        n_read_unique = np.zeros(self.bc.wl_size, dtype=np.int64)
+        n_read_multi = np.zeros(self.bc.wl_size, dtype=np.int64)
         from collections import OrderedDict
         flag_counts = OrderedDict()
         prev_iread = None

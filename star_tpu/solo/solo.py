@@ -46,6 +46,70 @@ def encode_bc(seq: str) -> Optional[Tuple[int, int]]:
     return v, pos_n
 
 
+def nt_str(v: int, L: int) -> str:
+    """convertNuclInt64toString (SequenceFuns.cpp)"""
+    return "".join("ACGT"[(v >> (2 * (L - 1 - i))) & 3] for i in range(L))
+
+
+def local_align_hamming(text: str, query: str) -> Tuple[int, int]:
+    """(bestDist, pos) sliding Hamming distance; N in query is a free match
+    (reference SequenceFuns.cpp:341 localAlignHammingDist)."""
+    if len(text) < len(query):
+        return len(text) + 1, 0
+    best, pos = len(query), 0
+    for ii in range(len(text) - len(query) + 1):
+        d = sum(1 for jj in range(len(query))
+                if query[jj] != "N" and text[ii + jj] != query[jj])
+        if d < best:
+            best, pos = d, ii
+    return best, pos
+
+
+def _wl_find(wl: np.ndarray, v: int) -> int:
+    i = int(np.searchsorted(wl, np.uint64(v)))
+    if i < len(wl) and wl[i] == np.uint64(v):
+        return i
+    return -1
+
+
+def match_cb_to_wl(cb_seq: str, cb_qual: str, wl: np.ndarray,
+                   mm1: bool, mm1_multi: bool, mm1_nbase: bool):
+    """whitelist exact/1MM matching against a sorted 2-bit WL array
+    (reference SoloReadBarcode_getCBandUMI.cpp:9-91 matchCBtoWL);
+    returns (cbMatch, matches[(wl_index, qual_char)])."""
+    v, pos_n = encode_bc(cb_seq)
+    if pos_n == -2:
+        return -2, []
+    if pos_n == -1:
+        i = _wl_find(wl, v)
+        if i >= 0:
+            return 0, [(i, "")]
+    if not mm1:
+        return -1, []
+    matches = []
+    if pos_n >= 0:
+        shift = 2 * (len(cb_seq) - 1 - pos_n)
+        for jj in range(4):
+            i = _wl_find(wl, v ^ (jj << shift))
+            if i >= 0:
+                if matches and not mm1_nbase:
+                    return -3, []
+                matches.append((i, cb_qual[pos_n]))
+    else:
+        for ii in range(len(cb_seq)):
+            for jj in range(1, 4):
+                i = _wl_find(wl, v ^ (jj << (ii * 2)))
+                if i >= 0:
+                    matches.append((i, cb_qual[len(cb_seq) - 1 - ii]))
+    if not matches:
+        return -1, []
+    if len(matches) == 1:
+        return 1, matches
+    if not mm1_multi:
+        return -3, []
+    return len(matches), matches
+
+
 class SoloBarcodes:
     """whitelist matching (reference SoloReadBarcode_getCBandUMI.cpp)"""
 
@@ -83,65 +147,307 @@ class SoloBarcodes:
                 v = (v << 2) + b
             self.homopolymers.add(v)
         self.cb_read_count_exact = np.zeros(len(self.wl), dtype=np.int64)
-
-    def _wl_find(self, v: int) -> int:
-        i = int(np.searchsorted(self.wl, np.uint64(v)))
-        if i < len(self.wl) and self.wl[i] == np.uint64(v):
-            return i
-        return -1
+        self.wl_size = len(self.wl)
+        self.qual_whole = False  # qualHist basis: CB+UMI quals (simple type)
 
     def match(self, cb_seq: str, cb_qual: str):
         """returns (cbMatch, matchList); matchList entries are (wl_index, qual)"""
-        v, pos_n = encode_bc(cb_seq)
         if not self.wl_yes:
+            v, pos_n = encode_bc(cb_seq)
             if pos_n != -1:
                 return -2, []
             return 0, [(v, "")]
-        if pos_n == -2:
-            return -2, []
-        if pos_n == -1:
-            i = self._wl_find(v)
-            if i >= 0:
-                return 0, [(i, "")]
-        if not self.mm1:
-            return -1, []
-        matches = []
-        if pos_n >= 0:
-            shift = 2 * (len(cb_seq) - 1 - pos_n)
-            for jj in range(4):
-                i = self._wl_find(v ^ (jj << shift))
-                if i >= 0:
-                    if matches and not self.mm1_nbase:
-                        return -3, []
-                    matches.append((i, cb_qual[pos_n]))
-        else:
-            for ii in range(len(cb_seq)):
-                for jj in range(1, 4):
-                    i = self._wl_find(v ^ (jj << (ii * 2)))
-                    if i >= 0:
-                        matches.append((i, cb_qual[len(cb_seq) - 1 - ii]))
-        if not matches:
-            return -1, []
-        if len(matches) == 1:
-            return 1, matches
-        if not self.mm1_multi:
-            return -3, []
-        return len(matches), matches
+        return match_cb_to_wl(cb_seq, cb_qual, self.wl,
+                              self.mm1, self.mm1_multi, self.mm1_nbase)
 
     def get_cb_umi(self, b_seq: str, b_qual: str):
-        """-> (cbMatch, matches, umi) or negative cbMatch on failure"""
+        """-> (cbMatch, matches, umi, (cbSeq, cbQual, umiSeq, umiQual))"""
         cb_seq = b_seq[self.cb_s:self.cb_s + self.cb_l]
         umi_seq = b_seq[self.umi_s:self.umi_s + self.umi_l]
         cb_qual = b_qual[self.cb_s:self.cb_s + self.cb_l]
+        umi_qual = b_qual[self.umi_s:self.umi_s + self.umi_l]
+        parts = (cb_seq, cb_qual, umi_seq, umi_qual)
         cb_match, matches = self.match(cb_seq, cb_qual)
         umi_v, umi_pos_n = encode_bc(umi_seq)
         if umi_pos_n != -1:
-            return -23, [], 0
+            return -23, [], 0, parts
         if umi_v in self.homopolymers:
-            return -24, [], 0
+            return -24, [], 0, parts
         if cb_match == 0:
             self.cb_read_count_exact[matches[0][0]] += 1
-        return cb_match, matches, umi_v
+        return cb_match, matches, umi_v, parts
+
+
+def _wl_add_mismatches(n_mm: int, cb_len: int, wl: np.ndarray):
+    """enumerate all <=n_mm-edit variants of each WL barcode, keep only
+    unambiguous ones (reference SoloBarcode.cpp wlAddMismatches); returns
+    (wlEd sorted np.uint64, wlEdInd np.uint32). ins+del variants are added
+    at the mm=2 level only, as edit-distance-2 combinations."""
+    recs = [(int(wl[i]), i, 0) for i in range(len(wl))]  # (cb, ind, mm)
+    mask_cb = (1 << (2 * cb_len)) - 1
+    ind1, ind2 = 0, len(recs)
+    for mm in range(1, n_mm + 1):
+        for ii in range(ind1, ind2):
+            cb0, ind0, _ = recs[ii]
+            for ll in range(0, cb_len * 2, 2):
+                for jj in range(1, 4):
+                    recs.append((cb0 ^ (jj << ll), ind0, mm))
+        if mm == 2:  # ins+del only added at mm=ed=2, to original barcodes
+            for ii in range(len(wl)):
+                cbmm = recs[ii][0]
+                for ld in range(0, cb_len * 2, 2):
+                    maskd = (1 << ld) - 1
+                    cbmmd = (cbmm & maskd) | ((cbmm >> (ld + 2)) << ld)
+                    for ll in range(0, cb_len * 2, 2):
+                        cbmm1 = cbmmd << 2
+                        mask = (1 << ll) - 1
+                        cbmm2 = ((cbmmd & mask)
+                                 | (cbmm1 & (((1 << 64) - 1) << (ll + 2))))
+                        cbmm2 &= mask_cb  # uintCB stays < 4^cbLen (see text)
+                        for jj in range(4):
+                            recs.append((cbmm2 | (jj << ll), recs[ii][1], 2))
+        ind1, ind2 = ind2, len(recs)
+    recs.sort(key=lambda r: (r[0], r[2], r[1]))  # (cb, mm, ind)
+    keep = []
+    prev_cb = None
+    for ii, (cb, ind, mm) in enumerate(recs):
+        nxt = recs[ii + 1] if ii + 1 < len(recs) else None
+        if nxt is not None and (cb, ind, mm) == (nxt[0], nxt[1], nxt[2]):
+            continue  # identical records collapse (prevCB not updated)
+        if (cb == prev_cb
+                or (nxt is not None and cb == nxt[0] and mm == nxt[2])):
+            pass  # ambiguous: matches >1 original at the same edit level
+        else:
+            keep.append((cb, ind))
+        prev_cb = cb
+    return (np.array([k[0] for k in keep], dtype=np.uint64),
+            np.array([k[1] for k in keep], dtype=np.uint32))
+
+
+class ComplexBarcodeSegment:
+    """one CB (or the UMI) of a complex barcode: anchored position + multi-
+    length whitelist (reference SoloBarcode.{h,cpp})."""
+
+    def __init__(self, position_str: str, adapter_length: int):
+        p = position_str.split("_")
+        self.anchor_type = (int(p[0]), int(p[2]))
+        self.anchor_dist = (int(p[1]), int(p[3]))
+        self.adapter_length = adapter_length
+        self.wl: List[np.ndarray] = []   # per length, sorted unique uint64
+        self.wl_ed: List[np.ndarray] = []
+        self.wl_ed_ind: List[np.ndarray] = []
+        self.wl_add: List[int] = []
+        self.min_len = 0
+        self.total_size = 0
+        self.wl_factor = 1
+
+    def load_whitelist(self, path: str, edit_dist_2: bool, log) -> None:
+        by_len: Dict[int, List[int]] = {}
+        max_len = 0
+        with open(path) as f:
+            for tok in f.read().split():
+                v, pos_n = encode_bc(tok)
+                if pos_n != -1:
+                    log.append("WARNING: CB whitelist sequence contains "
+                               "non-ACGT base and is ignored: " + tok)
+                    continue
+                by_len.setdefault(len(tok), []).append(v)
+                max_len = max(max_len, len(tok))
+        self.wl = [np.zeros(0, dtype=np.uint64)] * (max_len + 1)
+        self.wl_ed = [np.zeros(0, dtype=np.uint64)] * (max_len + 1)
+        self.wl_ed_ind = [np.zeros(0, dtype=np.uint32)] * (max_len + 1)
+        self.wl_add = [0] * (max_len + 1)
+        self.total_size = 0
+        self.min_len = (1 << 32) - 1
+        for ilen in range(1, max_len + 1):  # sortWhiteList
+            self.wl_add[ilen] = self.total_size
+            if ilen in by_len:
+                self.min_len = min(self.min_len, ilen)
+                self.wl[ilen] = np.unique(
+                    np.array(by_len[ilen], dtype=np.uint64))
+                self.total_size += len(self.wl[ilen])
+                if edit_dist_2:
+                    self.wl_ed[ilen], self.wl_ed_ind[ilen] = \
+                        _wl_add_mismatches(2, ilen, self.wl[ilen])
+
+    def extract(self, b_seq: str, b_qual: str, adapter_start: int):
+        """(seq, qual) or None (reference SoloBarcode_extractBarcode.cpp)"""
+        pos = [0, 0]
+        for ii in range(2):
+            a = self.anchor_type[ii]
+            if a == 0:
+                pos[ii] = 0
+            elif a == 1:
+                pos[ii] = len(b_seq) - 1
+            elif a == 2:
+                pos[ii] = adapter_start
+            elif a == 3:
+                pos[ii] = adapter_start + self.adapter_length - 1
+            pos[ii] += self.anchor_dist[ii]
+        if pos[0] < 0 or pos[1] > len(b_seq) or pos[0] > pos[1]:
+            return None
+        return b_seq[pos[0]:pos[1] + 1], b_qual[pos[0]:pos[1] + 1]
+
+
+class SoloBarcodesComplex:
+    """CB_UMI_Complex: anchored multi-segment barcodes with per-length
+    whitelists and optional adapter (reference ParametersSolo.cpp:349-396,
+    SoloReadBarcode_getCBandUMI.cpp:331-426). Exposes the same interface as
+    SoloBarcodes; cbMatchInd is the single global WL-product index."""
+
+    def __init__(self, P):
+        self.P = P
+        mm = P.soloCBmatchWLtype
+        if mm not in ("Exact", "1MM", "EditDist_2"):
+            raise SystemExit(
+                "EXITING because of fatal PARAMETERS error: "
+                f"--soloCBmatchWLtype {mm} does not work with --soloType "
+                "CB_UMI_Complex\nSOLUTION: use allowed option: use "
+                "--soloCBmatchWLtype Exact (exact matches only) OR 1MM "
+                "(one match with 1 mismatched base)")
+        self.mm1 = mm == "1MM"
+        self.edit_dist_2 = mm == "EditDist_2"
+        self.one_exact = mm in ("Exact", "1MM")
+        self.mm1_multi = False
+        self.mm1_multi_pc = False
+        self.mm1_nbase = False
+        self.wl_yes = True
+        self.qual_whole = True  # qualHist covers the whole barcode read
+        self.adapter_seq = P.soloAdapterSequence
+        self.adapter_yes = self.adapter_seq != "-"
+        self.adapter_mm_max = P.soloAdapterMismatchesNmax
+        if len(P.soloCBposition) != len(P.soloCBwhitelist) \
+                or P.soloCBposition[0] == "-":
+            raise SystemExit(
+                "EXITING because of fatal PARAMETER error: number of "
+                f"barcodes in --soloCBposition : {len(P.soloCBposition)} is "
+                "not equal to the number of WhiteLists in --soloCBwhitelist "
+                f": {len(P.soloCBwhitelist)}\nSOLUTION: make sure that the "
+                "number of CB whitelists and CB positions are the same")
+        adapter_len = len(self.adapter_seq)
+        self.log: List[str] = []
+        self.cbv = [ComplexBarcodeSegment(s, adapter_len)
+                    for s in P.soloCBposition]
+        self.umi_v = ComplexBarcodeSegment(P.soloUMIposition, adapter_len)
+        self.wl_size = 1
+        for icb, cb in enumerate(self.cbv):
+            cb.load_whitelist(P.soloCBwhitelist[icb], self.edit_dist_2,
+                              self.log)
+            cb.wl_factor = self.wl_size
+            self.wl_size *= cb.total_size
+        self.wl_str = self._complex_wl_strings()
+        self.umi_l = 0  # defined by the first read (getCBandUMI:353-354)
+        # homoPolymer values are precomputed per thread while umiL is still 0
+        # (SoloReadBarcode.cpp:16-21) => only the all-A UMI (==0) is caught
+        self.homopolymers = {0}
+        self.cb_read_count_exact = np.zeros(self.wl_size, dtype=np.int64)
+
+    def _complex_wl_strings(self) -> List[str]:
+        """ParametersSolo::complexWLstrings — enumerate the WL product in
+        global-index order (cbV[0] fastest; lengths ascending)."""
+        strs = []
+        n = len(self.cbv)
+        i_cb = [0] * n
+        i_len = [cb.min_len for cb in self.cbv]
+        for _ in range(self.wl_size):
+            for i in range(n):
+                cb = self.cbv[i]
+                if i_cb[i] == len(cb.wl[i_len[i]]):
+                    i_len[i] += 1
+                    i_cb[i] = 0
+                if i_len[i] == len(cb.wl):
+                    if i + 1 < n:
+                        i_cb[i + 1] += 1
+                    i_len[i] = cb.min_len
+            strs.append("_".join(
+                nt_str(int(cb.wl[i_len[i]][i_cb[i]]), i_len[i])
+                for i, cb in enumerate(self.cbv)))
+            i_cb[0] += 1
+        return strs
+
+    def get_cb_umi(self, b_seq: str, b_qual: str):
+        """-> (cbMatch, matches, umi, (cbSeq, cbQual, umiSeq, umiQual))"""
+        adapter_start = 0
+        if self.adapter_yes:
+            dist, adapter_start = local_align_hamming(b_seq, self.adapter_seq)
+            if dist > self.adapter_mm_max:
+                return -21, [], 0, ("", "", "", "")
+
+        umi = self.umi_v.extract(b_seq, b_qual, adapter_start)
+        if umi is None:
+            return -22, [], 0, ("", "", "", "")
+        umi_seq, umi_qual = umi
+        if self.umi_l == 0:
+            self.umi_l = len(umi_seq)
+
+        cb_match = -1
+        umi_v, umi_pos_n = encode_bc(umi_seq)
+        cb_match_good = True
+        if umi_pos_n != -1:
+            cb_match_good = False
+            cb_match = -23
+        elif umi_v in self.homopolymers:
+            cb_match_good = False
+            cb_match = -24
+
+        g_ind = 0
+        cb_seq, cb_qual = "", ""
+        for cb in self.cbv:
+            ext = cb.extract(b_seq, b_qual, adapter_start)
+            cb_seq1, cb_qual1 = ext if ext is not None else ("", "")
+            if (ext is None or len(cb_seq1) < cb.min_len
+                    or len(cb_seq1) >= len(cb.wl)
+                    or len(cb.wl[len(cb_seq1)]) == 0):
+                if cb_match_good:
+                    cb_match = -11
+                    cb_match_good = False
+            cb_seq += cb_seq1 + "_"
+            cb_qual += cb_qual1 + "_"
+            if not cb_match_good:
+                continue
+            cb_len1 = len(cb_seq1)
+            if self.edit_dist_2:
+                cb_match = 0
+                v, pos_n = encode_bc(cb_seq1)
+                if pos_n != -1:
+                    cb_match = -2
+                    cb_match_good = False
+                else:
+                    i = _wl_find(cb.wl[cb_len1], v)
+                    if i >= 0:
+                        g_ind += cb.wl_factor * (i + cb.wl_add[cb_len1])
+                    else:
+                        i = _wl_find(cb.wl_ed[cb_len1], v)
+                        if i >= 0:
+                            cb_match = 1
+                            i = int(cb.wl_ed_ind[cb_len1][i])
+                            g_ind += cb.wl_factor * (i + cb.wl_add[cb_len1])
+                        else:
+                            cb_match = -1
+                            cb_match_good = False
+            else:  # Exact or 1MM
+                cb_match1, matches1 = match_cb_to_wl(
+                    cb_seq1, cb_qual1, cb.wl[cb_len1],
+                    self.mm1, False, False)
+                if cb_match1 < 0:
+                    cb_match_good = False
+                    cb_match = cb_match1
+                elif cb_match1 > 0 and cb_match > 0:
+                    cb_match_good = False
+                    cb_match = -12  # mismatches in multiple barcodes
+                else:
+                    g_ind += cb.wl_factor * (matches1[0][0]
+                                             + cb.wl_add[cb_len1])
+                    cb_match = max(cb_match, cb_match1)
+        cb_seq = cb_seq[:-1]
+        cb_qual = cb_qual[:-1]
+
+        parts = (cb_seq, cb_qual, umi_seq, umi_qual)
+        if not cb_match_good:
+            return cb_match, [], 0, parts
+        if cb_match == 0:
+            self.cb_read_count_exact[g_ind] += 1
+        return cb_match, [(g_ind, "")], umi_v, parts
 
 
 def solo_cell_filtering(P):
@@ -231,10 +537,16 @@ class Solo:
         self.gi = gi
         self.P = P
         self.trm = trm
-        self.bc = SoloBarcodes(P)
+        if P.soloType[0] == "CB_UMI_Complex":
+            self.bc = SoloBarcodesComplex(P)
+        else:
+            self.bc = SoloBarcodes(P)
         self.features = [FEATURE_NAMES[f] for f in P.soloFeatures]
+        # umiMaskLow is fixed from --soloUMIlen BEFORE the CB_UMI_Complex
+        # section zeroes umiL (ParametersSolo.cpp:291 vs :370); the swap
+        # shift uses the live umiL — refreshed in process() for complex
         self.conf = DedupConf(P.soloUMIdedup, P.soloUMIfiltering[0],
-                              P.soloMultiMappers, self.bc.umi_l)
+                              P.soloMultiMappers, P.soloUMIlen[0])
         self.strand = {"Unstranded": -1, "Forward": 0, "Reverse": 1}[P.soloStrand]
         # readInfo/readIndex wiring (ParametersSolo.cpp:418-448,486-491)
         self.read_info_yes = {ft: False for ft in self.features}
@@ -263,7 +575,7 @@ class Solo:
                 if ft in GENEISH:
                     read_index_yes[ft] = True
         self.recorders = {ft: SoloReadFeature(
-            ft, P, len(self.bc.wl), read_index_yes[ft],
+            ft, P, self.bc.wl_size, read_index_yes[ft],
             self.read_stats_yes[ft], self.read_info_yes[ft])
             for ft in self.features}
         self.bar_stats = dict.fromkeys(BAR_STATS, 0)
@@ -278,14 +590,12 @@ class Solo:
     # -------------------------------------------------------------- mapping
     def add_read(self, res, b_seq: str, b_qual: str, i_read: int):
         self.n_reads += 1
-        cb_match, matches, umi = self.bc.get_cb_umi(b_seq, b_qual)
-        bc = self.bc
+        cb_match, matches, umi, parts = self.bc.get_cb_umi(b_seq, b_qual)
         # raw barcode attrs for SAM CR/CY/UR/UY (alignBAM ATTR_CR etc.)
-        res.solo_bar = (b_seq[bc.cb_s:bc.cb_s + bc.cb_l],
-                        b_qual[bc.cb_s:bc.cb_s + bc.cb_l],
-                        b_seq[bc.umi_s:bc.umi_s + bc.umi_l],
-                        b_qual[bc.umi_s:bc.umi_s + bc.umi_l])
-        q = b_qual[bc.cb_s:bc.cb_s + bc.cb_l] + b_qual[bc.umi_s:bc.umi_s + bc.umi_l]
+        res.solo_bar = parts
+        # qualHist basis: CB+UMI quals for CB_UMI_Simple, whole barcode read
+        # otherwise (getCBandUMI:243-247 vs :261-266)
+        q = b_qual if self.bc.qual_whole else parts[1] + parts[3]
         self.q30_bc[1] += len(q)
         self.q30_bc[0] += sum(1 for c in q if ord(c) >= 33 + 30)
         for qs in res.quals:
@@ -293,7 +603,8 @@ class Solo:
             self.q30_rna[0] += sum(1 for c in qs if ord(c) >= 33 + 30)
         key = {0: "yesWLmatchExact", 1: "yesOneWLmatchWithMM",
                -1: "noNoWLmatch", -2: "noNinCB", -3: "noTooManyWLmatches",
-               -11: "noNoCB", -12: "noTooManyMM", -23: "noNinUMI",
+               -11: "noNoCB", -12: "noTooManyMM", -21: "noNoAdapter",
+               -22: "noNoUMI", -23: "noNinUMI",
                -24: "noUMIhomopolymer"}.get(cb_match, "yesMultWLmatchWithMM")
         self.bar_stats[key] += 1
 
@@ -328,6 +639,10 @@ class Solo:
     def process(self, out_dir: str, run_stats: Dict[str, int],
                 sj_all: Optional[Tuple[np.ndarray, np.ndarray]] = None):
         P = self.P
+        # the swapped-halves shift reads the live umiL (umiSwapHalves,
+        # ParametersSolo.cpp:497-498) — for CB_UMI_Complex that is the length
+        # of the first read's UMI, while umi_mask_low stays stale (see ctor)
+        self.conf.umi_l_bits = self.bc.umi_l
         os.makedirs(out_dir, exist_ok=True)
         with open(os.path.join(out_dir, "Barcodes.stats"), "w") as f:
             f.write("".join(f"{k:>50}{v:>15}\n" for k, v in self.bar_stats.items()))

@@ -144,3 +144,35 @@ def test_solo_bam_tags(tmp_path):
     align_reads(P, use_device=False)
     assert _bam_records(prefix + "un_Aligned.out.bam") == \
         _bam_records(os.path.join(g, "un_Aligned.out.bam"))
+
+
+DC = os.path.join(os.path.dirname(DATA), "soloC")
+GC = os.path.join(os.path.dirname(GOLD), "soloC")
+
+COMPLEX = ["--genomeDir", os.path.join(G3, "idx"),
+           "--readFilesIn", os.path.join(DC, "cdna.fastq"),
+           os.path.join(DC, "bc.fastq"),
+           "--soloType", "CB_UMI_Complex",
+           "--soloCBwhitelist", os.path.join(DC, "wl1.txt"),
+           os.path.join(DC, "wl2.txt"),
+           "--soloCBposition", "0_0_2_-1", "3_1_3_8",
+           "--soloUMIposition", "3_9_3_14",
+           "--soloAdapterSequence", "GAGTGATTGCTT",
+           "--outSAMtype", "None", "--soloCellFilter", "TopCells", "6"]
+
+
+@pytest.mark.parametrize("name,wltype", [
+    ("mm1", "1MM"), ("exact", "Exact"), ("ed2", "EditDist_2")])
+def test_solo_complex(tmp_path, name, wltype):
+    """CB_UMI_Complex byte-identical: anchored multi-segment barcodes,
+    multi-length whitelists, adapter Hamming anchoring, global product
+    index, EditDist_2 edited whitelists (SoloBarcode.cpp,
+    SoloReadBarcode_getCBandUMI.cpp:331-426), incl. reference quirks
+    (per-CB cbMatch reset under EditDist_2; umiL=0-at-ctor homopolymer)."""
+    from star_tpu.params import Parameters
+    from star_tpu.run import align_reads
+    prefix = str(tmp_path) + "/"
+    P = Parameters(COMPLEX + ["--soloCBmatchWLtype", wltype,
+                              "--outFileNamePrefix", prefix])
+    align_reads(P, use_device=False)
+    _diff_tree(os.path.join(GC, name, "Solo.out"), prefix + "Solo.out")

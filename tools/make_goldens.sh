@@ -216,3 +216,18 @@ $STAR --genomeDir "$GOLD/genome_idx" --readFilesIn "$DATA/reads_se.fastq" \
       --waspOutputMode SAMtag > /dev/null
 find "$GOLD/wasp" "$GOLD/var" -name "_STARtmp" -type d -exec rm -rf {} + 2>/dev/null || true
 rm -f "$GOLD"/wasp/*Log* "$GOLD"/wasp/*SJ.out.tab "$GOLD"/var/*Log* "$GOLD"/var/*SJ.out.tab
+
+# 23. STARsolo CB_UMI_Complex (inDrop-style geometry, soloC dataset)
+python3 tools/make_complex_data.py
+DC=tests/data/soloC
+GC=tests/golden/soloC
+rm -rf "$GC"; mkdir -p "$GC"
+soloCcommon="--genomeDir tests/golden/solo3/idx --readFilesIn $DC/cdna.fastq $DC/bc.fastq \
+      --runThreadN 1 --soloType CB_UMI_Complex --soloCBwhitelist $DC/wl1.txt $DC/wl2.txt \
+      --soloCBposition 0_0_2_-1 3_1_3_8 --soloUMIposition 3_9_3_14 \
+      --soloAdapterSequence GAGTGATTGCTT --outSAMtype None --soloCellFilter TopCells 6"
+$STAR $soloCcommon --outFileNamePrefix "$GC/mm1/"   --soloCBmatchWLtype 1MM > /dev/null
+$STAR $soloCcommon --outFileNamePrefix "$GC/exact/" --soloCBmatchWLtype Exact > /dev/null
+$STAR $soloCcommon --outFileNamePrefix "$GC/ed2/"   --soloCBmatchWLtype EditDist_2 > /dev/null
+find "$GC" -name "_STARtmp" -type d -exec rm -rf {} + 2>/dev/null || true
+find "$GC" -name "Log*.out" -delete 2>/dev/null; find "$GC" -name "SJ.out.tab" -delete 2>/dev/null || true
