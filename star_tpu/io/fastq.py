@@ -40,6 +40,14 @@ def _records(stream) -> Iterator[Tuple[str, str, str, int]]:
 
 def read_pairs(files_in: List[str], command=None) -> Iterator[Tuple[str, List[str], List[str], int]]:
     """yield (name, [seqs...], [quals...], file_type) for SE or PE input."""
+    for name, seqs, quals, ftype, _ in read_pairs_indexed(files_in, command):
+        yield name, seqs, quals, ftype
+
+
+def read_pairs_indexed(files_in: List[str], command=None
+                       ) -> Iterator[Tuple[str, List[str], List[str], int, int]]:
+    """read_pairs + the input-file index per read (the reference's
+    readFilesIndex, used for RG attributes and SmartSeq well ids)."""
     mate_files = [f.split(",") for f in files_in if f not in ("", "-")]
     n_mates = len(mate_files)
     for i_file in range(len(mate_files[0])):
@@ -61,6 +69,7 @@ def read_pairs(files_in: List[str], command=None) -> Iterator[Tuple[str, List[st
                 idx = name.find(sep)
                 if idx >= 0:
                     name = name[:idx]
-            yield name, [r[1] for r in recs], [r[2] for r in recs], recs[0][3]
+            yield (name, [r[1] for r in recs], [r[2] for r in recs],
+                   recs[0][3], i_file)
         for s in streams:
             s.close()

@@ -292,7 +292,73 @@ class Parameters:
         setattr(self, name, _convert(d.ptype, tokens))
 
     # -- derived ----------------------------------------------------------
+    def _init_read_files(self):
+        """readFilesManifest + outSAMattrRGline parsing (reference
+        Parameters_readFilesInit.cpp:42-135)"""
+        self.outSAMattrRGlineSplit: List[str] = []
+        self.outSAMattrRG: List[str] = []
+        if self.readFilesManifest[0] != "-":
+            m1, m2 = [], []
+            with open(self.readFilesManifest[0]) as f:
+                for line in f:
+                    line = line.rstrip("\n")
+                    if not line.strip():
+                        continue
+                    cols = line.split("\t")
+                    if len(cols) < 3:
+                        raise SystemExit(
+                            "EXITING because of FATAL INPUT FILE error: "
+                            f"readFileManifest file {self.readFilesManifest[0]}"
+                            " has to contain at least 3 tab separated columns"
+                            "\nSOLUTION: fix the formatting of the "
+                            "readFileManifest file: Read1 <tab> Read2 <tab> "
+                            "ReadGroup. For single-end reads, use - in the "
+                            "2nd column.")
+                    m1.append(cols[0])
+                    m2.append(cols[1])
+                    rg = "\t".join(cols[2:])
+                    if not rg.startswith("ID:"):
+                        rg = "ID:" + rg
+                    self.outSAMattrRGlineSplit.append(rg)
+                    self.outSAMattrRG.append(rg[3:].split("\t")[0])
+            # SE iff the first row's 2nd column is "-" (readFilesInit:135)
+            if m2[0].endswith("-"):
+                self.readFilesIn = [",".join(m1)]
+            else:
+                self.readFilesIn = [",".join(m1), ",".join(m2)]
+        elif self.outSAMattrRGline[0] != "-":
+            entry: List[str] = []
+            for tok in self.outSAMattrRGline + [","]:
+                if tok == ",":
+                    if entry:
+                        if not entry[0].startswith("ID:"):
+                            raise SystemExit(
+                                "EXITING because of FATAL INPUT ERROR: the "
+                                "first word of a line from --outSAMattrRGline="
+                                f"{entry[0]} does not start with ID:xxx read "
+                                "group identifier\nSOLUTION: re-run STAR with "
+                                "all lines in --outSAMattrRGline starting "
+                                "with ID:xxx")
+                        self.outSAMattrRGlineSplit.append("\t".join(entry))
+                        self.outSAMattrRG.append(entry[0][3:])
+                    entry = []
+                else:
+                    entry.append(tok)
+            n_files = len(self.readFilesIn[0].split(","))
+            if len(self.outSAMattrRG) > 1 \
+                    and len(self.outSAMattrRG) != n_files:
+                raise SystemExit(
+                    "EXITING: because of fatal INPUT ERROR: number of input "
+                    f"read files: {n_files} does not agree with number of "
+                    f"read group RG entries: {len(self.outSAMattrRG)}\n"
+                    "Make sure that the number of RG lines in "
+                    "--outSAMattrRGline is equal to either 1, or the number "
+                    "of input read files in --readFilesIn")
+            elif len(self.outSAMattrRG) == 1:
+                self.outSAMattrRG *= n_files
+
     def derive(self):
+        self._init_read_files()
         self.readNmates = 1 if (len(self.readFilesIn) < 2 or self.readFilesIn[1] in ("", "-")) else 2
         if self.soloType[0] != "None" and self.soloType[0] != "SmartSeq":
             self.readNmates = 1  # the barcode read is not aligned

@@ -16,7 +16,7 @@ from typing import Iterator, List, Optional
 from .params import Parameters
 from .genome.index import GenomeIndex
 from .align.engine import ReadAligner
-from .io.fastq import read_pairs
+from .io.fastq import read_pairs, read_pairs_indexed
 from .io.sam import sam_header, write_read_sam
 from .io.sj import SJCollector
 from .stats import RunStats
@@ -177,7 +177,8 @@ def _run_mapping(P: Parameters, gi: GenomeIndex, use_device=None) -> RunStats:
     held = []
 
     solo = None
-    if P.soloTypeYes and P.soloType[0] in ("CB_UMI_Simple", "CB_UMI_Complex"):
+    if P.soloTypeYes and P.soloType[0] in ("CB_UMI_Simple", "CB_UMI_Complex",
+                                           "SmartSeq"):
         from .quant.transcriptome import Transcriptome
         from .solo.solo import Solo
         trm_solo = Transcriptome.load(getattr(P, "trInfoDir", P.genomeDir))
@@ -199,6 +200,8 @@ def _run_mapping(P: Parameters, gi: GenomeIndex, use_device=None) -> RunStats:
         if solo is not None and getattr(res, "solo_bc", None) is not None:
             solo.add_read(res, res.solo_bc[0], res.solo_bc[1],
                           getattr(res, "i_read_all", 0))
+        elif solo is not None and P.soloType[0] == "SmartSeq":
+            solo.add_read(res, "", "", getattr(res, "i_read_all", 0))
         # chimeric detection runs for every read with windows, including
         # reads failing the linear filters (reference: oneRead order)
         if chim_stream is not None and getattr(res, "read1", None) is not None:
@@ -250,7 +253,8 @@ def _run_mapping(P: Parameters, gi: GenomeIndex, use_device=None) -> RunStats:
                 held.append((res.name, res.seqs, res.quals,
                              res.read_file_type,
                              getattr(res, "i_read_all", 0),
-                             getattr(res, "solo_bc", None)))
+                             getattr(res, "solo_bc", None),
+                             getattr(res, "read_file_index", 0)))
                 continue
         emit(res, None)
 
@@ -264,11 +268,12 @@ def _run_mapping(P: Parameters, gi: GenomeIndex, use_device=None) -> RunStats:
         P2.outFilterBySJoutStage = 2
         aligner = ReadAligner(gi, P2)
         aligner.sj_novel = (starts, ends)
-        for name, seqs, quals, ftype, iread, solo_bc in held:
+        for name, seqs, quals, ftype, iread, solo_bc, ifile in held:
             res = aligner.align_read(name, seqs, quals)
             res.read_file_type = ftype
             res.i_read_all = iread
             res.solo_bc = solo_bc
+            res.read_file_index = ifile
             stats.add_read(res)
             emit(res, None)
         P.outFilterBySJoutStage = 2  # final SJ output skips distance filter
@@ -373,19 +378,30 @@ def _align_all(P: Parameters, gi: GenomeIndex, stats: RunStats, use_device: bool
                 n += 1
                 yield res
         return
-    reader = read_pairs(P.readFilesIn[:P.readNmates], P.readFilesCommand)
+    reader_idx = read_pairs_indexed(P.readFilesIn[:P.readNmates],
+                                    P.readFilesCommand)
     if use_device:
         from .ops.pipeline import DeviceAligner
         aligner = DeviceAligner(gi, P)
-        yield from aligner.align_stream(reader, stats)
+        file_idx = []
+
+        def plain():
+            for name, seqs, quals, ftype, ifile in reader_idx:
+                file_idx.append(ifile)
+                yield name, seqs, quals, ftype
+        # align_stream yields in input order (reference-order replay)
+        for k, res in enumerate(aligner.align_stream(plain(), stats)):
+            res.read_file_index = file_idx[k]
+            yield res
     else:
         aligner = ReadAligner(gi, P)
         n = 0
-        for name, seqs, quals, ftype in reader:
+        for name, seqs, quals, ftype, ifile in reader_idx:
             if P.readMapNumber >= 0 and n >= P.readMapNumber:
                 break
             res = aligner.align_read(name, seqs, quals)
             res.read_file_type = ftype
+            res.read_file_index = ifile
             res.i_read_all = n
             stats.add_read(res)
             n += 1
