@@ -47,7 +47,7 @@ def main():
     import numpy as np
 
     gi = GenomeIndex.load(idx)
-    n_reads = 2000
+    n_reads = 8000
 
     P = Parameters(["--genomeDir", idx,
                     "--readFilesIn", os.path.join(data, "reads_se.fastq"),
@@ -56,10 +56,14 @@ def main():
                     "--readMapNumber", str(n_reads)])
     os.makedirs("/tmp/star_tpu_bench/out", exist_ok=True)
 
-    # warmup (jit compile) on a small slice
-    Pw = P.clone(readMapNumber=64, outFileNamePrefix="/tmp/star_tpu_bench/warm/")
+    # warmup (jit compile / persistent-cache load) covering both executable
+    # shapes: the small-batch bucket and the full wave
+    Pw = P.clone(readMapNumber=3000,
+                 outFileNamePrefix="/tmp/star_tpu_bench/warm/")
     os.makedirs("/tmp/star_tpu_bench/warm", exist_ok=True)
     align_reads(Pw, gi=gi)
+    Pw2 = Pw.clone(readMapNumber=64)
+    align_reads(Pw2, gi=gi)
 
     t0 = time.time()
     stats = align_reads(P, gi=gi)

@@ -1,43 +1,99 @@
 """Device-accelerated alignment pipeline.
 
-Reads are processed in large batches.  The MMP seed search — the hot loop —
-runs on device: every read contributes a set of probe *chains* (piece x
-direction x staggered start, reference: ReadAlign_mapOneRead.cpp), each round
-dispatches one probe per active chain through the batched SA-search kernel
-(ops/sa_search.py), and the per-chain results are replayed into the piece
-table in the reference's chronological order so the downstream window/stitch
-stages see identical input.  Windows/stitching/output currently run on host;
-they migrate to device DP kernels stage by stage.
+Reads are processed in large batches.  The whole seed loop — the reference's
+per-read `while unmapped > seedMapMin` MMP iteration
+(reference: ReadAlign_mapOneRead.cpp:65-78) — runs on device as ONE jitted
+dispatch per batch: every read contributes a set of probe *chains*
+(piece x direction x staggered start), a `lax.while_loop` advances all
+chains in lockstep (each round = one batched MMP over the suffix array,
+ops/sa_search.py), and the per-chain probe tables come back as fixed-shape
+arrays.  A vectorized numpy replay then rebuilds the reference-order piece
+tables (reference: ReadAlign_storeAligns.cpp) so the downstream
+window/stitch stages see bit-identical input.
+
+Windows/stitching/output run on host; they migrate to device kernels stage
+by stage (ops/stitch.py).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import Iterator, List
+from typing import Iterator
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..align.engine import ReadAligner, ReadResult
-from ..align.seed import SeedResult, quality_split, store_align
+from ..align.seed import SeedResult, quality_split
 from .jaxcfg import setup_jax_cache
-from .sa_search import DeviceIndex, make_mmp_kernel
+from .sa_search import DeviceIndex, make_mmp_fn
+
+MAXP = 64  # probes per chain cap (matches the round-1 64-round cap)
 
 
-@dataclass
-class _Chain:
-    read_i: int
-    piece_start: int
-    piece_len: int
-    i_dir: int
-    istart: int
-    l_start: int
-    ifrag: int
-    l_mapped: int = 0
-    active: bool = True
-    probes: list = None  # [(shift, seed_len, maxL, nrep, lo, hi)]
+def make_seed_loop(di: DeviceIndex, seed_map_min: int):
+    """returns jitted fn over fixed-shape chain arrays:
+        (chainview [NC, QL] int8, piece_len [NC], istart_l [NC], active0 [NC])
+          -> (maxl, nrep, lo, hi) [NC, MAXP] int32, nprobes [NC] int32
+    chainview: the chain's piece bytes in search direction (complemented for
+    the reverse direction) starting at column 0, -1 padded."""
+    mmp = make_mmp_fn(di)
+    QL = di.ql
 
-    def __post_init__(self):
-        if self.probes is None:
-            self.probes = []
+    def shift_rows(x, s):
+        """x[i, s_i:] left-shifted into column 0, -1 fill (barrel shifter)"""
+        B, W = x.shape
+        for b in range(10):
+            k = 1 << b
+            if k >= W:
+                break
+            shifted = jnp.concatenate(
+                [x[:, k:], jnp.full((B, k), -1, dtype=x.dtype)], axis=1)
+            x = jnp.where((s[:, None] & k) != 0, shifted, x)
+        return x
+
+    def seed_loop(t2f, saf, saif, chainview, piece_len, istart_l, active0):
+        NC = chainview.shape[0]
+        zeros = jnp.zeros((NC, MAXP), dtype=jnp.int32)
+
+        def cond(st):
+            k, active, *_ = st
+            return (k < MAXP) & jnp.any(active)
+
+        def body(st):
+            k, active, l_mapped, oml, onr, olo, ohi, nprobes = st
+            offs = istart_l + l_mapped
+            q = shift_rows(chainview, offs)
+            seed_len = piece_len - l_mapped - istart_l
+            pos = jax.lax.broadcasted_iota(jnp.int32, (NC, QL), 1)
+            q = jnp.where(pos < seed_len[:, None], q, -1)
+            maxl, nrep, lo, hi = mmp(t2f, saf, saif, q,
+                                     jnp.maximum(seed_len, 0), valid=active)
+            maxl = jnp.where(active, maxl, 0)
+            sel = (jax.lax.broadcasted_iota(jnp.int32, (NC, MAXP), 1) == k) \
+                & active[:, None]
+            oml = jnp.where(sel, maxl[:, None], oml)
+            onr = jnp.where(sel, nrep[:, None], onr)
+            olo = jnp.where(sel, lo[:, None], olo)
+            ohi = jnp.where(sel, hi[:, None], ohi)
+            nprobes = nprobes + active.astype(jnp.int32)
+            l_mapped = l_mapped + jnp.where(active, maxl, 0)
+            active = active & (maxl > 0) & \
+                (istart_l + l_mapped + seed_map_min < piece_len)
+            return k + 1, active, l_mapped, oml, onr, olo, ohi, nprobes
+
+        st = (jnp.int32(0), active0, jnp.zeros(NC, dtype=jnp.int32),
+              zeros, zeros, zeros, zeros, jnp.zeros(NC, dtype=jnp.int32))
+        _, _, _, oml, onr, olo, ohi, nprobes = jax.lax.while_loop(
+            cond, body, st)
+        return oml, onr, olo, ohi, nprobes
+
+    jitted = jax.jit(seed_loop)
+
+    def call(chainview, piece_len, istart_l, active0):
+        return jitted(di.t2f, di.saf, di.saif, chainview, piece_len,
+                      istart_l, active0)
+
+    return call
 
 
 class DeviceAligner:
@@ -47,15 +103,24 @@ class DeviceAligner:
         self.batch_size = batch_size or P.tpuBatchSize
         self.host = ReadAligner(gi, P)
         self.di = None
-        self.kernel = None
+        self.seed_loop = None
         self._ql = None
+
+    # (genome id, ql, seedMapMin) -> (DeviceIndex, seed_loop); retracing and
+    # relowering a jit costs seconds, so repeated align_reads calls in one
+    # process (two-pass, BySJout stage 2, benchmarks) must share one kernel
+    _kernel_cache = {}
 
     def _ensure_kernel(self, max_read_len: int):
         setup_jax_cache()
         ql = ((max_read_len + 2 + 127) // 128) * 128
         if self.di is None or ql > self._ql:
-            self.di = DeviceIndex.build(self.gi, ql=ql)
-            self.kernel = make_mmp_kernel(self.di)
+            key = (id(self.gi), ql, self.P.seedMapMin)
+            if key not in self._kernel_cache:
+                di = DeviceIndex.build(self.gi, ql=ql)
+                self._kernel_cache[key] = (di, make_seed_loop(
+                    di, self.P.seedMapMin))
+            self.di, self.seed_loop = self._kernel_cache[key]
             self._ql = ql
 
     # -------------------------------------------------------------- batching
@@ -74,7 +139,7 @@ class DeviceAligner:
             yield from self._align_batch(batch, stats)
 
     def _align_batch(self, batch, stats) -> Iterator[ReadResult]:
-        P, gi = self.P, self.gi
+        P = self.P
         prepped = []
         for name, seqs, quals, ftype in batch:
             res, reads = self.host.prepare_read(name, seqs, quals)
@@ -89,106 +154,183 @@ class DeviceAligner:
         for i, (res, reads) in enumerate(prepped):
             read_mat[i, :res.lread] = reads[0]
 
-        # build chains (reference seed-loop structure)
-        chains: List[_Chain] = []
-        per_read_seeds: List[SeedResult] = []
-        per_read_chains: List[list] = []
+        # ---- flat chain descriptors (reference seed-loop structure)
+        c_read, c_pstart, c_plen, c_dir, c_istl, c_ifrag, c_piece = \
+            [], [], [], [], [], [], []
+        per_read_pieces = []
         for i, (res, reads) in enumerate(prepped):
-            seeds = SeedResult(pc=[], nA=0, nUM=(0, 0), mult_nmin=0,
-                               mult_nmin_l=0, max_good_piece=0, n_split=0)
-            pieces, lgood = quality_split(reads[0], res.lread, P.maxNsplit, P.seedSplitMin)
-            seeds.max_good_piece = lgood
-            seeds.n_split = len(pieces)
-            per_read_seeds.append(seeds)
-            rchains = []
+            pieces, lgood = quality_split(reads[0], res.lread, P.maxNsplit,
+                                          P.seedSplitMin)
+            per_read_pieces.append((pieces, lgood))
             ssl = min(P.seedSearchStartLmax,
                       int(P.seedSearchStartLmaxOverLread * (res.lread - 1)))
-            for (p_start, p_len, ifrag) in pieces:
-                n_start = p_len // ssl + 1 if (P.seedSearchStartLmax > 0 and ssl < p_len) else 1
+            for ip, (p_start, p_len, ifrag) in enumerate(pieces):
+                n_start = p_len // ssl + 1 \
+                    if (P.seedSearchStartLmax > 0 and ssl < p_len) else 1
                 l_start = p_len // n_start
                 for i_dir in range(2):
                     for istart in range(n_start):
-                        c = _Chain(i, p_start, p_len, i_dir, istart, l_start, ifrag)
-                        if istart * l_start + P.seedMapMin >= p_len:
-                            c.active = False
-                        chains.append(c)
-                        rchains.append(c)
-            per_read_chains.append(rchains)
+                        c_read.append(i)
+                        c_pstart.append(p_start)
+                        c_plen.append(p_len)
+                        c_dir.append(i_dir)
+                        c_istl.append(istart * l_start)
+                        c_ifrag.append(ifrag)
+                        c_piece.append(ip)
 
-        # probe rounds
-        NC = len(chains)
+        NC = len(c_read)
+        probes = None
         if NC:
-            self._run_chain_rounds(chains, read_mat)
+            probes = self._run_chains(
+                read_mat,
+                np.asarray(c_read, np.int32), np.asarray(c_pstart, np.int32),
+                np.asarray(c_plen, np.int32), np.asarray(c_dir, np.int32),
+                np.asarray(c_istl, np.int32))
 
-        # replay per chain in reference order -> identical piece tables
-        for i, rchains in enumerate(per_read_chains):
-            seeds = per_read_seeds[i]
-            # group by piece: chains were appended piece-major already
-            j = 0
-            while j < len(rchains):
-                piece_chains = [c for c in rchains
-                                if (c.piece_start, c.piece_len) ==
-                                (rchains[j].piece_start, rchains[j].piece_len)]
-                flag_dir_map = True
-                for c in piece_chains:
-                    if c.i_dir == 0 and c.istart == 0 and c.probes:
-                        shift, seed_len, maxl, _, _, _ = c.probes[0]
-                        if shift + maxl == c.piece_len:
-                            flag_dir_map = False
-                for c in piece_chains:
-                    if c.i_dir == 1 and c.istart == 0 and not flag_dir_map:
-                        continue
-                    for (shift, seed_len, maxl, nrep, lo, hi) in c.probes:
-                        store_align(seeds, self.P, c.i_dir, shift, nrep, maxl,
-                                    lo, hi, c.ifrag)
-                j += len(piece_chains)
+        seeds_by_read = _replay_store_aligns(
+            P, R,
+            np.asarray(c_read, np.int32), np.asarray(c_pstart, np.int32),
+            np.asarray(c_plen, np.int32), np.asarray(c_dir, np.int32),
+            np.asarray(c_istl, np.int32), np.asarray(c_ifrag, np.int32),
+            np.asarray(c_piece, np.int32), probes)
 
         for i, (res, reads) in enumerate(prepped):
-            out = self.host.finish_read(res, reads, per_read_seeds[i])
+            pieces, lgood = per_read_pieces[i]
+            seeds = seeds_by_read[i]
+            seeds.max_good_piece = lgood
+            seeds.n_split = len(pieces)
+            out = self.host.finish_read(res, reads, seeds)
             stats.add_read(out)
             yield out
 
-    def _run_chain_rounds(self, chains: List[_Chain], read_mat: np.ndarray):
-        """run all chains to completion; one kernel dispatch per round"""
-        P = self.P
-        QL = self._ql
-        seed_map_min = P.seedMapMin
-        # pad dispatches to a fixed lane count so every round (and most
-        # batches) reuse one compiled executable; coarse buckets keep the
-        # number of distinct compiled shapes tiny (remote compiles are costly)
-        lanes = 2048 if len(chains) <= 2048 else ((len(chains) + 8191) // 8192) * 8192
-        max_rounds = 64
-        for _ in range(max_rounds):
-            act = [c for c in chains if c.active]
-            if not act:
-                break
-            B = len(act)
-            read_i = np.zeros(lanes, dtype=np.int32)
-            shifts = np.zeros(lanes, dtype=np.int32)
-            seed_lens = np.full(lanes, 8, dtype=np.int32)
-            dirs = np.zeros(lanes, dtype=np.int32)
-            read_i[:B] = [c.read_i for c in act]
-            dirs[:B] = [c.i_dir for c in act]
-            for k, c in enumerate(act):
-                if c.i_dir == 0:
-                    shifts[k] = c.piece_start + c.istart * c.l_start + c.l_mapped
-                else:
-                    shifts[k] = c.piece_start + c.piece_len - c.istart * c.l_start - 1 - c.l_mapped
-                seed_lens[k] = c.piece_len - c.l_mapped - c.istart * c.l_start
+    SMALL_LANES = 2048
+    WAVE_LANES = 16384
 
-            queries = _build_queries(read_mat, read_i, shifts, seed_lens, dirs, QL)
-            maxl, nrep, lo, hi = [np.asarray(x) for x in
-                                  self.kernel(queries, seed_lens)]
-            for k, c in enumerate(act):
-                c.probes.append((int(shifts[k]), int(seed_lens[k]), int(maxl[k]),
-                                 int(nrep[k]), int(lo[k]), int(hi[k])))
-                c.l_mapped += int(maxl[k])
-                if maxl[k] == 0 or (c.istart * c.l_start + c.l_mapped
-                                    + seed_map_min >= c.piece_len):
-                    c.active = False
-        else:
-            for c in chains:
-                c.active = False
+    def _run_chains(self, read_mat, c_read, c_pstart, c_plen, c_dir, c_istl):
+        """device seed loop over fixed-size chain waves.  Only two executable
+        shapes exist (SMALL_LANES for small batches, WAVE_LANES otherwise)
+        so compiles happen once and the persistent cache stays hot."""
+        NC = len(c_read)
+        QL = self._ql
+        shift0 = np.where(c_dir == 0, c_pstart, c_pstart + c_plen - 1)
+        chainview = _build_queries(read_mat, c_read, shift0, c_plen, c_dir, QL)
+        lanes = self.SMALL_LANES if NC <= self.SMALL_LANES else self.WAVE_LANES
+        outs = []
+        for w0 in range(0, NC, lanes):
+            w1 = min(w0 + lanes, NC)
+            n = w1 - w0
+            cv = np.full((lanes, QL), -1, dtype=np.int8)
+            cv[:n] = chainview[w0:w1]
+            plen = np.zeros(lanes, dtype=np.int32)
+            plen[:n] = c_plen[w0:w1]
+            istl = np.zeros(lanes, dtype=np.int32)
+            istl[:n] = c_istl[w0:w1]
+            act = np.zeros(lanes, dtype=bool)
+            act[:n] = c_istl[w0:w1] + self.P.seedMapMin < c_plen[w0:w1]
+            res = [np.asarray(x)[:n] for x in
+                   self.seed_loop(cv, plen, istl, act)]
+            outs.append(res)
+        return tuple(np.concatenate([o[i] for o in outs]) for i in range(5))
+
+
+def _replay_store_aligns(P, n_reads, c_read, c_pstart, c_plen, c_dir,
+                         c_istl, c_ifrag, c_piece, probes):
+    """vectorized replay of the reference's storeAligns bookkeeping
+    (reference: ReadAlign_storeAligns.cpp): builds each read's sorted piece
+    table from the device probe arrays, preserving reference insertion
+    order, dedup and multimap accounting."""
+    seeds = [SeedResult(pc=[], nA=0, nUM=(0, 0), mult_nmin=0,
+                        mult_nmin_l=0, max_good_piece=0, n_split=0)
+             for _ in range(n_reads)]
+    if probes is None:
+        return seeds
+    oml, onr, olo, ohi, nprobes = probes
+    NC = len(c_read)
+    if NC == 0:
+        return seeds
+
+    # flatten probes chain-major, chronological within chain
+    np_max = int(nprobes.max()) if NC else 0
+    if np_max == 0:
+        return seeds
+    k = np.arange(np_max)
+    keep = k[None, :] < nprobes[:, None]              # [NC, np_max]
+    ci, ki = np.nonzero(keep)
+    maxl = oml[ci, ki]
+    nrep = onr[ci, ki]
+    lo = olo[ci, ki]
+    hi = ohi[ci, ki]
+    # per-probe shift: origin + direction * (istart_l + l_mapped before probe)
+    lm_before = np.zeros_like(oml[:, :np_max])
+    lm_before[:, 1:] = np.cumsum(oml[:, :np_max - 1], axis=1)
+    adv = c_istl[ci] + lm_before[ci, ki]
+    shift = np.where(c_dir[ci] == 0,
+                     c_pstart[ci] + adv,
+                     c_pstart[ci] + c_plen[ci] - 1 - adv)
+
+    # reference skip rule: if the piece's (dir0, istart0) chain mapped the
+    # whole piece in its first probe, the (dir1, istart0) chain is skipped
+    is_d0i0 = (c_dir == 0) & (c_istl == 0)
+    first_full = np.zeros(NC, dtype=bool)
+    first_full[is_d0i0] = (nprobes[is_d0i0] > 0) & \
+        (oml[is_d0i0, 0] == c_plen[is_d0i0])
+    piece_key = c_read.astype(np.int64) * (c_piece.max() + 1) + c_piece
+    full_by_piece = {}
+    for c in np.nonzero(is_d0i0 & first_full)[0]:
+        full_by_piece[piece_key[c]] = True
+    skip_chain = np.zeros(NC, dtype=bool)
+    is_d1i0 = (c_dir == 1) & (c_istl == 0)
+    for c in np.nonzero(is_d1i0)[0]:
+        if full_by_piece.get(piece_key[c]):
+            skip_chain[c] = True
+    kept = ~skip_chain[ci]
+    ci, maxl, nrep, lo, hi, shift = \
+        ci[kept], maxl[kept], nrep[kept], lo[kept], hi[kept], shift[kept]
+
+    read = c_read[ci]
+    idir = c_dir[ci]
+    ifrag = c_ifrag[ci]
+
+    # multimap cap: dropped probes only update (mult_nmin, mult_nmin_l)
+    over = nrep > P.seedMultimapNmax
+    if over.any():
+        ro, no, lo_ = read[over], nrep[over], maxl[over]
+        order = np.lexsort((np.arange(len(ro)), no, ro))
+        ro_s, no_s, l_s = ro[order], no[order], lo_[order]
+        firsts = np.ones(len(ro_s), dtype=bool)
+        firsts[1:] = ro_s[1:] != ro_s[:-1]
+        for r, n_, l_ in zip(ro_s[firsts], no_s[firsts], l_s[firsts]):
+            seeds[r].mult_nmin = int(n_)
+            seeds[r].mult_nmin_l = int(l_)
+    read, idir, ifrag, maxl, nrep, lo, hi, shift = [
+        a[~over] for a in (read, idir, ifrag, maxl, nrep, lo, hi, shift)]
+
+    # accounting (reference nUM / nA counters)
+    uniq = nrep == 1
+    add0 = np.bincount(read[uniq], weights=nrep[uniq], minlength=n_reads)
+    add1 = np.bincount(read[~uniq], weights=nrep[~uniq], minlength=n_reads)
+    addA = np.bincount(read, weights=nrep, minlength=n_reads)
+    for r in range(n_reads):
+        seeds[r].nUM = (int(add0[r]), int(add1[r]))
+        seeds[r].nA = int(addA[r])
+
+    # sorted-insert + dedup == stable sort by (rStart asc, Length desc,
+    # insertion order) then drop later (rStart, Length) duplicates
+    r_start = np.where(idir == 0, shift, shift + 1 - maxl)
+    order = np.lexsort((np.arange(len(read)), -maxl, r_start, read))
+    rs, ln, rd = r_start[order], maxl[order], read[order]
+    dup = np.zeros(len(order), dtype=bool)
+    dup[1:] = (rd[1:] == rd[:-1]) & (rs[1:] == rs[:-1]) & (ln[1:] == ln[:-1])
+    order = order[~dup]
+    counts = np.bincount(read[order], minlength=n_reads)
+    if (counts > P.seedPerReadNmax).any():
+        raise RuntimeError(
+            "too many pieces per read; increase --seedPerReadNmax")
+    for j in order:
+        seeds[read[j]].pc.append(
+            [int(r_start[j]), int(maxl[j]), int(idir[j]), int(nrep[j]),
+             int(lo[j]), int(hi[j]), int(ifrag[j])])
+    return seeds
 
 
 def _build_queries(read_mat, read_i, shifts, seed_lens, dirs, QL):

@@ -1,194 +1,283 @@
-"""Batched MMP seed search on device (JAX/XLA).
+"""Batched MMP seed search on device (JAX + Pallas DMA fetch).
 
 Thousands of (read, start, direction) probes are resolved per dispatch:
-SAi prefix lookup, then binary search over the suffix array of the doubled
+SAi prefix descent, then binary search over the suffix array of the doubled
 text T2.  One uniform byte comparator covers all read-direction x
-genome-strand cases (see genome/fasta.py build_t2), so each bisection step is
-a [B, QL] int8 gather + vector compare — bandwidth-bound, no divergent
-control flow.  Results are bit-identical to the host reference
-(star_tpu.align.seed.mmp_search); tests enforce this.
+genome-strand cases (see genome/fasta.py build_t2).  Results are
+bit-identical to the host reference (star_tpu.align.seed.mmp_search); tests
+enforce this.
 
-The index arrays live in HBM as device-resident constants (the analog of the
-reference's shared-memory genome residency, reference: source/SharedMemory.cpp)
-and are donated once per process.
+Round-2 redesign: every random access goes through ops.fetch (one aligned
+async DMA per row, ~90ns, vs ~2.6us for XLA's serialized gather), suffix
+bytes are realigned with a gather-free barrel shifter, the SAi value+flag
+bits are packed into one int32 entry so the whole prefix lookup is a single
+fetch, and every search loop is a converging `lax.while_loop` instead of a
+fixed worst-case trip count (SAi already shrinks intervals to a handful of
+rows, so the typical bisection converges in 2-4 steps).
+
+Reference behavior replicated: source/ReadAlign_maxMappableLength2strands.cpp
+(SAi descent + the 3 result cases), source/SuffixArrayFuns.cpp:133-207
+(maxMappableLength double binary search).  The index arrays live in HBM as
+device-resident arrays (the analog of the reference's shared-memory genome
+residency, source/SharedMemory.cpp).
+
+Capacity: the single-chip kernel requires n_sa < 2^30 and every table
+< 2 GiB (int32 byte offsets); mammal-scale genomes exceed single-chip HBM
+anyway and go through the sharded path (parallel/mesh.py).
 """
 from __future__ import annotations
 
-import functools
-import math
 from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .fetch import (FET, TILE, default_use_pallas, extract_i32, fetch_rows,
+                    pad_table, realign)
+
+_VAL_MASK = 0x3FFFFFFF   # packed SAi: low 30 bits = value
+_NBIT = 1 << 30          # bit 30 = prefix crosses an N/spacer
+# bit 31 (sign) = prefix absent
+
+
+def pack_sai(gi) -> np.ndarray:
+    """SAi (value, absent, nbit) planes -> one int32 entry per slot"""
+    assert gi.n_sa < _NBIT, "packed SAi requires n_sa < 2^30 (use sharded path)"
+    v = gi.sai_val.astype(np.int64) & _VAL_MASK
+    v |= gi.sai_nbit.astype(np.int64) << 30
+    v |= gi.sai_absent.astype(np.int64) << 31
+    return v.astype(np.uint32).view(np.int32)
+
 
 @dataclass
 class DeviceIndex:
-    """device-resident genome index arrays"""
-    t2: jax.Array          # int8 [2N + QL] (spacer padded)
-    sa: jax.Array          # int32/int64 [nSA]
-    sai_val: jax.Array     # int32 [nSAi]
-    sai_absent: jax.Array  # bool [nSAi]
-    sai_nbit: jax.Array    # bool [nSAi]
+    """device-resident genome index arrays (byte-fetchable layout)"""
+    t2f: jax.Array         # int8, padded (genome doubled text)
+    saf: jax.Array         # int8 view of int32 SA rows, padded
+    saif: jax.Array        # int8 view of packed-int32 SAi, padded
     level_start: tuple     # python ints, len L+1
     n_sa: int
     n_levels: int
     ql: int                # max query length (padded compare window)
+    use_pallas: bool
 
     @classmethod
-    def build(cls, gi, ql: int = 512, device=None):
-        t2p = np.concatenate([gi.t2, np.full(ql, 5, dtype=np.int8)])
-        idx_dtype = np.int32 if gi.n_sa < 2**31 and 2 * gi.n_genome < 2**31 else np.int64
-        put = functools.partial(jax.device_put, device=device)
+    def build(cls, gi, ql: int = 512, device=None, use_pallas=None):
+        assert ql <= TILE, "query window must fit one fetch tile"
+        assert 2 * gi.n_genome + ql < 2**31 and gi.n_sa < _VAL_MASK, \
+            "single-chip device index requires <2GiB tables (use sharded path)"
+        if use_pallas is None:
+            use_pallas = default_use_pallas()
+        put = lambda a: jax.device_put(a, device)
         return cls(
-            t2=put(t2p),
-            sa=put(gi.sa.astype(idx_dtype)),
-            sai_val=put(gi.sai_val.astype(idx_dtype)),
-            sai_absent=put(gi.sai_absent),
-            sai_nbit=put(gi.sai_nbit),
+            t2f=put(pad_table(gi.t2)),
+            saf=put(pad_table(gi.sa.astype(np.int32))),
+            saif=put(pad_table(pack_sai(gi))),
             level_start=tuple(int(x) for x in gi.sai_level_start),
             n_sa=gi.n_sa,
             n_levels=gi.sa_index_nbases,
             ql=ql,
+            use_pallas=use_pallas,
         )
 
 
-def _n_bisect_iters(n_sa: int) -> int:
-    return max(1, math.ceil(math.log2(n_sa + 1))) + 1
+def _onehot_pick(consts: jax.Array, idx: jax.Array) -> jax.Array:
+    """consts[idx] for a tiny constant table, gather-free"""
+    sel = idx[:, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (idx.shape[0], consts.shape[0]), 1)
+    return jnp.sum(jnp.where(sel, consts[None, :], 0), axis=1)
 
 
-def _gather_window(t2, sa, rows, ql):
-    """[B] rows -> [B, ql] suffix bytes"""
-    pos = jnp.take(sa, rows, mode="clip").astype(jnp.int32)
-    idx = pos[:, None] + jnp.arange(ql, dtype=jnp.int32)[None, :]
-    return jnp.take(t2, idx, mode="clip")
-
-
-def _suffix_lt_query(t2, sa, rows, qpad):
-    """suffix[rows] < query, byte-lexicographic.  qpad padding conventions:
-    -1 beyond the query end => query counts as smaller (prefix semantics),
-    127 => query counts as larger."""
-    g = _gather_window(t2, sa, rows, qpad.shape[1])
-    neq = qpad != g
-    first = jnp.argmax(neq, axis=1)
-    qc = jnp.take_along_axis(qpad, first[:, None], axis=1)[:, 0]
-    gc = jnp.take_along_axis(g, first[:, None], axis=1)[:, 0]
-    return gc < qc
-
-
-def _lcp(t2, sa, rows, qpad, qlen):
-    g = _gather_window(t2, sa, rows, qpad.shape[1])
-    neq = qpad != g
-    first = jnp.argmax(neq, axis=1)
-    first = jnp.where(neq.any(axis=1), first, qpad.shape[1])
-    return jnp.minimum(first, qlen)
-
-
-def _lower_bound(t2, sa, qpad, lo0, hi0, n_iters):
-    """first row in [lo0, hi0) whose suffix >= query (per batch element)"""
-    def body(_, lohi):
-        lo, hi = lohi
-        mid = (lo + hi) // 2
-        lt = _suffix_lt_query(t2, sa, mid, qpad)
-        run = lo < hi
-        lo = jnp.where(run & lt, mid + 1, lo)
-        hi = jnp.where(run & ~lt, mid, hi)
-        return lo, hi
-
-    lo, hi = jax.lax.fori_loop(0, n_iters, body, (lo0, hi0))
-    return lo
-
-
-def make_mmp_kernel(di: DeviceIndex):
-    """returns jitted fn: (queries [B, QL] int8 with -1 padding, qlen [B] int32)
-    -> (maxL, nrep, lo, hi) each [B] int32."""
+def make_mmp_fn(di: DeviceIndex):
+    """returns a traceable fn
+        mmp(t2f, saf, saif, queries [B, QL] int8 (-1 padded), qlen [B] i32)
+          -> (maxL, nrep, lo, hi) each [B] int32
+    suitable for use inside a larger jit (the device seed loop)."""
     L = di.n_levels
-    level_start = di.level_start
-    n_iters = _n_bisect_iters(di.n_sa)
+    QL = di.ql
     n_sa = di.n_sa
+    lvl_start = jnp.array(di.level_start[:-1], dtype=jnp.int32)   # [L]
+    lvl_end = jnp.array(di.level_start[1:], dtype=jnp.int32)      # [L]
+    up = di.use_pallas
 
-    def mmp(t2, sa, sai_val, sai_absent, sai_nbit, queries, qlen):
+    def lcp_lt(g, qpad, qlen):
+        """lcp(query, suffix bytes g) and suffix<query, over the QL window.
+        qpad padding: -1 => query smaller (prefix semantics), 127 => larger."""
+        neq = qpad != g
+        has = neq.any(axis=1)
+        first = jnp.argmax(neq, axis=1)
+        lcp = jnp.minimum(jnp.where(has, first, QL), qlen)
+        sel = first[:, None] == jax.lax.broadcasted_iota(
+            jnp.int32, qpad.shape, 1)
+        qc = jnp.sum(jnp.where(sel, qpad, 0), axis=1, dtype=jnp.int32)
+        gc = jnp.sum(jnp.where(sel, g, 0), axis=1, dtype=jnp.int32)
+        return lcp.astype(jnp.int32), has & (gc < qc)
+
+    def suffix_window(t2f, saf, rows, run):
+        """SA rows -> realigned suffix byte windows [B, QL]"""
+        sbyte = rows * 4
+        srows = fetch_rows(saf, jnp.where(run, sbyte, -1), use_pallas=up)
+        pos = extract_i32(srows, sbyte % TILE)
+        trows = fetch_rows(t2f, jnp.where(run, pos, -1), use_pallas=up)
+        return realign(trows, pos % TILE, QL)
+
+    def lower_bound(t2f, saf, qpad, qlen, lo0, hi0):
+        """first row in [lo0, hi0) whose suffix >= query, converging loop"""
+        def cond(lohi):
+            lo, hi = lohi
+            return jnp.any(lo < hi)
+
+        def body(lohi):
+            lo, hi = lohi
+            run = lo < hi
+            mid = (lo + hi) // 2
+            g = suffix_window(t2f, saf, mid, run)
+            _, lt = lcp_lt(g, qpad, qlen)
+            lo = jnp.where(run & lt, mid + 1, lo)
+            hi = jnp.where(run & ~lt, mid, hi)
+            return lo, hi
+
+        lo, _ = jax.lax.while_loop(cond, body, (lo0, hi0))
+        return lo
+
+    def mmp(t2f, saf, saif, queries, qlen, valid=None):
         B = queries.shape[0]
         q = jnp.maximum(queries, -1)
+        qlen = qlen.astype(jnp.int32)
+        if valid is None:
+            valid = jnp.ones(B, dtype=bool)
 
-        # ---- SAi lookup
-        lmax = jnp.minimum(qlen, L)
-        # prefix values at each level (base-4); level l uses first l chars
+        # ---- SAi prefix values at each level (base-4 over raw byte codes,
+        # bug-compatible with the reference's unchecked index arithmetic)
         qn = jnp.where(q[:, :L] < 0, 0, q[:, :L]).astype(jnp.int32)
         prefix_vals = []
         acc = jnp.zeros(B, dtype=jnp.int32)
         for l in range(L):
             acc = acc * 4 + qn[:, l]
             prefix_vals.append(acc)
-        prefix_vals = jnp.stack(prefix_vals, axis=1)  # [B, L], level l+1 at col l
+        prefix_vals = jnp.stack(prefix_vals, axis=1)  # [B, L]; level l+1 at col l
 
-        present = []
-        for l in range(1, L + 1):
-            off = level_start[l - 1] + prefix_vals[:, l - 1]
-            ab = jnp.take(sai_absent, off, mode="clip")
-            present.append((~ab) & (l <= lmax))
-        present = jnp.stack(present, axis=1)  # [B, L]
-        # largest present level (level-1 single bases always present)
-        lind = L - jnp.argmax(present[:, ::-1].astype(jnp.int32), axis=1)
-        lind = jnp.where(present.any(axis=1), lind, 1)
+        lmax = jnp.minimum(qlen, L).astype(jnp.int32)
+        sel0 = jnp.maximum(lmax - 1, 0)[:, None] == jax.lax.broadcasted_iota(
+            jnp.int32, (B, L), 1)
+        ind0 = jnp.sum(jnp.where(sel0, prefix_vals, 0), axis=1)
 
-        ind1 = jnp.take_along_axis(prefix_vals, (lind - 1)[:, None], axis=1)[:, 0]
-        lvl_start = jnp.array(level_start[:-1], dtype=jnp.int32)[lind - 1]
-        lvl_end = jnp.array(level_start[1:], dtype=jnp.int32)[lind - 1]
-        off = lvl_start + ind1
-        isa1 = jnp.take(sai_val, off, mode="clip").astype(jnp.int32)
-        no_n = ~jnp.take(sai_nbit, off, mode="clip")
+        # ---- SAi descent (reference: reduce Lind while prefix absent);
+        # typically resolves in one fetch because full-depth prefixes of real
+        # reads are present
+        def d_cond(st):
+            return jnp.any(~st[2])
 
-        has_next = off + 1 < lvl_end
-        nxt_absent = jnp.take(sai_absent, jnp.minimum(off + 1, lvl_end - 1), mode="clip")
-        good = has_next & ~nxt_absent
-        isa2 = jnp.where(
-            good,
-            jnp.take(sai_val, jnp.minimum(off + 1, lvl_end - 1), mode="clip").astype(jnp.int32) - 1,
-            n_sa - 1)
+        def d_body(st):
+            lind, ind, done, v1, v2, off = st
+            off_n = _onehot_pick(lvl_start, lind - 1) + ind
+            rows = fetch_rows(saif, jnp.where(done, -1, off_n * 4), use_pallas=up)
+            rb = (off_n * 4) % TILE
+            v1_n = extract_i32(rows, rb)
+            v2_n = extract_i32(rows, rb + 4)
+            v1 = jnp.where(done, v1, v1_n)
+            v2 = jnp.where(done, v2, v2_n)
+            off = jnp.where(done, off, off_n)
+            absent = v1 < 0
+            step = ~done & absent & (lind > 1)
+            done = done | ~absent | (lind <= 1)
+            lind = jnp.where(step, lind - 1, lind)
+            ind = jnp.where(step, ind >> 2, ind)
+            return lind, ind, done, v1, v2, off
 
-        case1 = (lind < L) & no_n & good
-        case2 = (isa1 == isa2) & no_n & good
+        z = jnp.zeros(B, dtype=jnp.int32)
+        lind, _, _, v1, v2, off = jax.lax.while_loop(
+            d_cond, d_body,
+            (jnp.maximum(lmax, 1), ind0, ~valid, z, z, z))
 
-        # ---- full binary search (masked; runs for every probe in lockstep)
-        i1 = isa1
-        i2 = isa2
-        ins = _lower_bound(t2, sa, q, i1, i2 + 1, n_iters)
-        l_a = _lcp(t2, sa, jnp.minimum(ins, i2), q, qlen)
-        l_b = _lcp(t2, sa, jnp.maximum(ins - 1, i1), q, qlen)
-        l_a = jnp.where(ins <= i2, l_a, 0)
-        l_b = jnp.where(ins - 1 >= i1, l_b, 0)
-        best = jnp.maximum(l_a, l_b).astype(jnp.int32)
+        isa1 = v1 & _VAL_MASK
+        no_n = (v1 & _NBIT) == 0
+        has_next = off + 1 < _onehot_pick(lvl_end, lind - 1)
+        good = has_next & (v2 >= 0)
+        isa2 = jnp.where(good, (v2 & _VAL_MASK) - 1, n_sa - 1)
+        # Tight search bound even when the next SAi entry is absent: absent
+        # entries store the next PRESENT block start, so rows with this
+        # prefix still end at value-1.  The reference searches [iSA1, nSA-1]
+        # there ("safe, but can probably do better"); the result is provably
+        # identical because the query starts with the present prefix, so its
+        # insertion point, lcp neighbors and equal range all live inside the
+        # tight interval.  Only the returned bounds of a 0-length match use
+        # the reference's loose i2 (see below).
+        i2s = jnp.where(has_next, (v2 & _VAL_MASK) - 1, n_sa - 1)
 
-        # equal range of the best prefix: one batched double search
-        pos_idx = jnp.arange(q.shape[1], dtype=jnp.int32)[None, :]
-        q_lo = jnp.where(pos_idx < best[:, None], q, -1)
-        q_hi = jnp.where(pos_idx < best[:, None], q, 127)
-        q2 = jnp.concatenate([q_lo, q_hi], axis=0)
-        lo0 = jnp.concatenate([i1, i1], axis=0)
-        hi0 = jnp.concatenate([i2 + 1, i2 + 1], axis=0)
-        bounds = _lower_bound(t2, sa, q2, lo0, hi0, n_iters)
-        lo1 = bounds[:B]
-        hi1 = bounds[B:] - 1
-        empty = best == 0
-        lo1 = jnp.where(empty, i1, lo1)
-        hi1 = jnp.where(empty, i2, hi1)
+        case1 = ((lind < L) & no_n & good) | ~valid
+        case2 = ~case1 & (isa1 == isa2) & no_n & good
+        # case 4 — search-free resolution the reference misses: if the
+        # descent stopped below Lmax, the (Lind+1)-prefix is ABSENT, i.e. no
+        # suffix extends the match past Lind, so maxL == Lind exactly and the
+        # equal range is the whole SAi block [isa1, i2s] (which by SA order
+        # also contains the N-continuation rows a prefix-compare would keep).
+        # Same when Lind == qlen: the full query matched at SAi level.
+        # Requires has_next so the block end is known.  The reference runs
+        # its full double binary search here with provably identical output.
+        case4 = ~case1 & ~case2 & has_next & ((lind < lmax) | (lind >= qlen))
+        case3 = ~case1 & ~case2 & ~case4
+        l0 = jnp.where(good & no_n, lind, 0)
 
-        # ---- select per case
-        max_l = jnp.where(case1, lind.astype(jnp.int32), best)
-        lo_out = jnp.where(case1, isa1, jnp.where(case2, isa1, lo1))
-        hi_out = jnp.where(case1, isa2, jnp.where(case2, isa1, hi1))
+        # ---- case-3 insertion-point search in [i1, i2s]
+        i1, i2 = isa1, i2s
+        lo0 = jnp.where(case3, i1, 0)
+        hi0 = jnp.where(case3, i2 + 1, 0)
+        ins = lower_bound(t2f, saf, q, qlen, lo0, hi0)
+
+        # ---- neighbor lcps (case 3) + the case-2 single compare, one batch
+        rows_a = jnp.where(case2, isa1, jnp.minimum(ins, i2))
+        rows_b = jnp.where(case2, isa1, jnp.maximum(ins - 1, i1))
+        run_a = case2 | (case3 & (ins <= i2))
+        run_b = case3 & (ins - 1 >= i1)
+        g2 = suffix_window(t2f, saf,
+                           jnp.concatenate([rows_a, rows_b]),
+                           jnp.concatenate([run_a, run_b]))
+        l2, _ = lcp_lt(g2, jnp.concatenate([q, q]),
+                       jnp.concatenate([qlen, qlen]))
+        l_a = jnp.where(run_a, l2[:B], 0)
+        l_b = jnp.where(run_b, l2[B:], 0)
+        best = jnp.maximum(jnp.maximum(l_a, l_b), jnp.where(case3, l0, 0))
+
+        # ---- equal range of the best prefix within [i1, i2] (case 3)
+        nz = case3 & (best > 0)
+        pos_idx = jnp.arange(QL, dtype=jnp.int32)[None, :]
+        keep = pos_idx < best[:, None]
+        q_lo = jnp.where(keep, q, -1)
+        q_hi = jnp.where(keep, q, 127)
+        qr = jnp.concatenate([q_lo, q_hi], axis=0)
+        b0 = jnp.concatenate([jnp.where(nz, i1, 0)] * 2)
+        b1 = jnp.concatenate([jnp.where(nz, i2 + 1, 0)] * 2)
+        bounds = lower_bound(t2f, saf, qr, jnp.concatenate([best, best]),
+                             b0, b1)
+        # a 0-length match reports the reference's loose [iSA1, iSA2] bounds
+        lo1 = jnp.where(nz, bounds[:B], isa1)
+        hi1 = jnp.where(nz, bounds[B:] - 1, isa2)
+
+        # ---- combine the cases
+        max_l = jnp.where(case1 | case4, lind,
+                          jnp.where(case2, l_a, jnp.where(nz, best, 0)))
+        lo_out = jnp.where(case1 | case2 | case4, isa1, lo1)
+        hi_out = jnp.where(case1, isa2,
+                           jnp.where(case2, isa1,
+                                     jnp.where(case4, i2s, hi1)))
         nrep = hi_out - lo_out + 1
         return max_l, nrep, lo_out, hi_out
 
+    return mmp
+
+
+def make_mmp_kernel(di: DeviceIndex):
+    """returns jitted fn: (queries [B, QL] int8 with -1 padding, qlen [B]
+    int32) -> (maxL, nrep, lo, hi) each [B] int32."""
+    mmp = make_mmp_fn(di)
     jitted = jax.jit(mmp)
 
     def call(queries, qlen):
         # index arrays are passed as runtime args (NOT closure constants:
         # constant-capture would bake them into the HLO as literals, making
         # compiles and every execution pathologically slow)
-        return jitted(di.t2, di.sa, di.sai_val, di.sai_absent, di.sai_nbit,
-                      queries, qlen)
+        return jitted(di.t2f, di.saf, di.saif, queries, qlen)
 
     return call
