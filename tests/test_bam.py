@@ -29,7 +29,7 @@ def read_bam_records(path):
     return refs, recs
 
 
-def test_bam_golden_se(tmp_path, genome_index):
+def test_bam_golden_se(tmp_path, genome_index, use_device):
     from star_tpu.params import Parameters
     from star_tpu.run import align_reads
     prefix = str(tmp_path) + "/"
@@ -38,7 +38,7 @@ def test_bam_golden_se(tmp_path, genome_index):
                     "--outFileNamePrefix", prefix,
                     "--outSAMunmapped", "Within",
                     "--outSAMtype", "BAM", "Unsorted", "SortedByCoordinate"])
-    align_reads(P, gi=genome_index, use_device=False)
+    align_reads(P, gi=genome_index, use_device=use_device)
     for fn in ["Aligned.out.bam", "Aligned.sortedByCoord.out.bam"]:
         refs_a, mine = read_bam_records(prefix + fn)
         refs_b, want = read_bam_records(os.path.join(GOLD, "se_bam", fn))
@@ -46,7 +46,7 @@ def test_bam_golden_se(tmp_path, genome_index):
         assert mine == want, fn
 
 
-def test_transcriptome_sam_golden(tmp_path, genome_index_gtf):
+def test_transcriptome_sam_golden(tmp_path, genome_index_gtf, use_device):
     from star_tpu.params import Parameters
     from star_tpu.run import align_reads
     prefix = str(tmp_path) + "/"
@@ -54,7 +54,7 @@ def test_transcriptome_sam_golden(tmp_path, genome_index_gtf):
                     "--readFilesIn", os.path.join(DATA, "reads_se.fastq"),
                     "--outFileNamePrefix", prefix,
                     "--quantMode", "TranscriptomeSAM"])
-    align_reads(P, gi=genome_index_gtf, use_device=False)
+    align_reads(P, gi=genome_index_gtf, use_device=use_device)
     refs_a, mine = read_bam_records(prefix + "Aligned.toTranscriptome.out.bam")
     refs_b, want = read_bam_records(
         os.path.join(GOLD, "se_trsam", "Aligned.toTranscriptome.out.bam"))
@@ -85,7 +85,7 @@ def test_bam_remove_duplicates(tmp_path, dtype, pre):
     ("wasp", ["--outSAMattributes", "NH", "HI", "AS", "nM", "vA", "vG", "vW",
               "--waspOutputMode", "SAMtag"]),
 ])
-def test_variation_wasp_golden(tmp_path, sub, extra):
+def test_variation_wasp_golden(tmp_path, sub, extra, use_device):
     """--varVCFfile vA/vG SNP tags and --waspOutputMode SAMtag vW tags
     byte-identical (Variation.cpp, Transcript_variationAdjust.cpp,
     ReadAlign_waspMap.cpp); covers vW classes 1/2/7, het/hom genotypes,
@@ -96,7 +96,7 @@ def test_variation_wasp_golden(tmp_path, sub, extra):
                "--readFilesIn", os.path.join(DATA, "reads_se.fastq"),
                "--outFileNamePrefix", prefix, "--outSAMtype", "BAM", "Unsorted",
                "--varVCFfile", os.path.join(DATA, "var.vcf"),
-               "--tpuUseDevice", "0"] + extra)
+               "--tpuUseDevice", str(int(use_device))] + extra)
     _, got = read_bam_records(prefix + "Aligned.out.bam")
     _, want = read_bam_records(os.path.join(GOLD, sub, "Aligned.out.bam"))
     assert got == want

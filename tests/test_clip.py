@@ -17,7 +17,7 @@ def _strip_header(path):
               "--clip3pNbases", "2", "--clip3pAfterAdapterNbases", "1"]),
     ("cr4_", ["--clipAdapterType", "CellRanger4"]),
 ])
-def test_clip_golden(tmp_path, name, extra):
+def test_clip_golden(tmp_path, name, extra, use_device):
     from star_tpu.params import Parameters
     from star_tpu.run import align_reads
     prefix = str(tmp_path) + "/" + name
@@ -25,7 +25,7 @@ def test_clip_golden(tmp_path, name, extra):
                     "--readFilesIn", os.path.join(DATA, "reads_clip.fastq"),
                     "--outFileNamePrefix", prefix,
                     "--outSAMunmapped", "Within"] + extra)
-    align_reads(P, use_device=False)
+    align_reads(P, use_device=use_device)
     for f in ["Aligned.out.sam", "SJ.out.tab"]:
         got = _strip_header(prefix + f)
         want = _strip_header(os.path.join(GOLD, "clip", name + f))

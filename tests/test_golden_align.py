@@ -12,7 +12,7 @@ def _strip_header(path):
         return [l for l in f if not l.startswith("@")]
 
 
-def _run_align(tmp_path, genome_dir, reads, extra=()):
+def _run_align(tmp_path, genome_dir, reads, extra=(), use_device=False):
     from star_tpu.params import Parameters
     from star_tpu.run import align_reads
     prefix = str(tmp_path) + "/"
@@ -20,7 +20,7 @@ def _run_align(tmp_path, genome_dir, reads, extra=()):
                     "--readFilesIn", *reads,
                     "--outFileNamePrefix", prefix,
                     "--outSAMunmapped", "Within", *extra])
-    align_reads(P, use_device=False)
+    align_reads(P, use_device=use_device)
     return prefix
 
 
@@ -28,20 +28,22 @@ def _run_align(tmp_path, genome_dir, reads, extra=()):
     ("se", ["reads_se.fastq"]),
     ("pe", ["reads_pe_1.fastq", "reads_pe_2.fastq"]),
 ])
-def test_golden_sam_identical(tmp_path, case, reads):
+def test_golden_sam_identical(tmp_path, case, reads, use_device):
     prefix = _run_align(tmp_path, os.path.join(GOLD, "genome_idx"),
-                        [os.path.join(DATA, r) for r in reads])
+                        [os.path.join(DATA, r) for r in reads],
+                        use_device=use_device)
     got = _strip_header(prefix + "Aligned.out.sam")
     want = _strip_header(os.path.join(GOLD, case, "Aligned.out.sam"))
     assert got == want
 
 
 @pytest.mark.parametrize("case", ["se", "pe"])
-def test_golden_sj_identical(tmp_path, case):
+def test_golden_sj_identical(tmp_path, case, use_device):
     reads = {"se": ["reads_se.fastq"],
              "pe": ["reads_pe_1.fastq", "reads_pe_2.fastq"]}[case]
     prefix = _run_align(tmp_path, os.path.join(GOLD, "genome_idx"),
-                        [os.path.join(DATA, r) for r in reads])
+                        [os.path.join(DATA, r) for r in reads],
+                        use_device=use_device)
     with open(prefix + "SJ.out.tab") as f1, \
          open(os.path.join(GOLD, case, "SJ.out.tab")) as f2:
         assert f1.read() == f2.read()
@@ -56,13 +58,14 @@ def test_log_final_stats_match(tmp_path):
     assert body(prefix + "Log.final.out") == body(os.path.join(GOLD, "se", "Log.final.out"))
 
 
-def test_pe_overlap_merge_map(tmp_path):
+def test_pe_overlap_merge_map(tmp_path, use_device):
     """--peOverlapNbasesMin: merge overlapping mates, remap as SE, convert
     windows back to PE (reference ReadAlign_peOverlapMergeMap.cpp)"""
     prefix = _run_align(tmp_path, os.path.join(GOLD, "genome_idx"),
                         [os.path.join(DATA, "reads_peov_1.fastq"),
                          os.path.join(DATA, "reads_peov_2.fastq")],
-                        extra=["--peOverlapNbasesMin", "10"])
+                        extra=["--peOverlapNbasesMin", "10"],
+                        use_device=use_device)
     got = _strip_header(prefix + "Aligned.out.sam")
     want = _strip_header(os.path.join(GOLD, "peov", "Aligned.out.sam"))
     assert got == want

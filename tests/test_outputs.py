@@ -5,7 +5,7 @@ import os
 from tests.conftest import DATA, GOLD
 
 
-def test_signal_bedgraph_golden(tmp_path, genome_index):
+def test_signal_bedgraph_golden(tmp_path, genome_index, use_device):
     from star_tpu.params import Parameters
     from star_tpu.run import align_reads
     prefix = str(tmp_path) + "/"
@@ -14,13 +14,13 @@ def test_signal_bedgraph_golden(tmp_path, genome_index):
                     "--outFileNamePrefix", prefix,
                     "--outSAMtype", "BAM", "SortedByCoordinate",
                     "--outWigType", "bedGraph"])
-    align_reads(P, gi=genome_index, use_device=False)
+    align_reads(P, gi=genome_index, use_device=use_device)
     for f in sorted(glob.glob(os.path.join(GOLD, "se_wig", "Signal*"))):
         with open(prefix + os.path.basename(f)) as a, open(f) as b:
             assert a.read() == b.read(), f
 
 
-def test_unmapped_fastx_golden(tmp_path, genome_index):
+def test_unmapped_fastx_golden(tmp_path, genome_index, use_device):
     from star_tpu.params import Parameters
     from star_tpu.run import align_reads
     prefix = str(tmp_path) + "/"
@@ -29,7 +29,7 @@ def test_unmapped_fastx_golden(tmp_path, genome_index):
                     os.path.join(DATA, "reads_pe_2.fastq"),
                     "--outFileNamePrefix", prefix,
                     "--outReadsUnmapped", "Fastx"])
-    align_reads(P, gi=genome_index, use_device=False)
+    align_reads(P, gi=genome_index, use_device=use_device)
     for f in sorted(glob.glob(os.path.join(GOLD, "pe_unm", "Unmapped*"))):
         with open(prefix + os.path.basename(f)) as a, open(f) as b:
             assert a.read() == b.read(), f

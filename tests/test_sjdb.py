@@ -31,7 +31,7 @@ def test_gtf_index_matches_reference(tmp_path, genome_index_gtf):
             assert a.read() == b.read(), fn
 
 
-def test_sjdb_alignment_golden(tmp_path, genome_index_gtf):
+def test_sjdb_alignment_golden(tmp_path, genome_index_gtf, use_device):
     from star_tpu.params import Parameters
     from star_tpu.run import align_reads
     prefix = str(tmp_path) + "/"
@@ -39,7 +39,7 @@ def test_sjdb_alignment_golden(tmp_path, genome_index_gtf):
                     "--readFilesIn", os.path.join(DATA, "reads_se.fastq"),
                     "--outFileNamePrefix", prefix,
                     "--outSAMunmapped", "Within"])
-    align_reads(P, gi=genome_index_gtf, use_device=False)
+    align_reads(P, gi=genome_index_gtf, use_device=use_device)
     got = [l for l in open(prefix + "Aligned.out.sam") if not l.startswith("@")]
     want = [l for l in open(os.path.join(GOLD, "se_gtf", "Aligned.out.sam"))
             if not l.startswith("@")]
@@ -49,7 +49,7 @@ def test_sjdb_alignment_golden(tmp_path, genome_index_gtf):
         assert a.read() == b.read()
 
 
-def test_gene_counts_golden(tmp_path, genome_index_gtf):
+def test_gene_counts_golden(tmp_path, genome_index_gtf, use_device):
     from star_tpu.params import Parameters
     from star_tpu.run import align_reads
     prefix = str(tmp_path) + "/"
@@ -57,7 +57,7 @@ def test_gene_counts_golden(tmp_path, genome_index_gtf):
                     "--readFilesIn", os.path.join(DATA, "reads_se.fastq"),
                     "--outFileNamePrefix", prefix,
                     "--outSAMunmapped", "Within", "--quantMode", "GeneCounts"])
-    align_reads(P, gi=genome_index_gtf, use_device=False)
+    align_reads(P, gi=genome_index_gtf, use_device=use_device)
     with open(prefix + "ReadsPerGene.out.tab") as a, \
          open(os.path.join(GOLD, "se_quant", "ReadsPerGene.out.tab")) as b:
         assert a.read() == b.read()

@@ -4,7 +4,7 @@ import os
 from tests.conftest import DATA, GOLD
 
 
-def test_solo_gene_matrices(tmp_path, genome_index_gtf):
+def test_solo_gene_matrices(tmp_path, genome_index_gtf, use_device):
     from star_tpu.params import Parameters
     from star_tpu.run import align_reads
     prefix = str(tmp_path) + "/"
@@ -17,7 +17,7 @@ def test_solo_gene_matrices(tmp_path, genome_index_gtf):
                     "--soloCBstart", "1", "--soloCBlen", "16",
                     "--soloUMIstart", "17", "--soloUMIlen", "12",
                     "--outSAMtype", "None"])
-    align_reads(P, gi=genome_index_gtf, use_device=False)
+    align_reads(P, gi=genome_index_gtf, use_device=use_device)
     for f in ["raw/barcodes.tsv", "raw/features.tsv", "raw/matrix.mtx",
               "filtered/barcodes.tsv", "filtered/matrix.mtx",
               "UMIperCellSorted.txt"]:
@@ -26,7 +26,7 @@ def test_solo_gene_matrices(tmp_path, genome_index_gtf):
             assert a.read() == b.read(), f
 
 
-def test_solo_stats_files(tmp_path, genome_index_gtf):
+def test_solo_stats_files(tmp_path, genome_index_gtf, use_device):
     from star_tpu.params import Parameters
     from star_tpu.run import align_reads
     prefix = str(tmp_path) + "/"
@@ -39,7 +39,7 @@ def test_solo_stats_files(tmp_path, genome_index_gtf):
                     "--soloCBstart", "1", "--soloCBlen", "16",
                     "--soloUMIstart", "17", "--soloUMIlen", "12",
                     "--outSAMtype", "None"])
-    align_reads(P, gi=genome_index_gtf, use_device=False)
+    align_reads(P, gi=genome_index_gtf, use_device=use_device)
     for f in ["Gene/Summary.csv", "Barcodes.stats", "Gene/Features.stats"]:
         with open(prefix + "Solo.out/" + f) as a, \
              open(os.path.join(GOLD, "solo", "Solo.out", f)) as b:

@@ -35,12 +35,12 @@ def _diff_tree(a, b):
     assert not out, f"differs: {out}"
 
 
-def _run(tmp_path, extra):
+def _run(tmp_path, extra, use_device=False):
     from star_tpu.params import Parameters
     from star_tpu.run import align_reads
     prefix = str(tmp_path) + "/"
     P = Parameters(COMMON + extra + ["--outFileNamePrefix", prefix])
-    align_reads(P, use_device=False)
+    align_reads(P, use_device=use_device)
     return prefix
 
 
@@ -53,8 +53,8 @@ def _run(tmp_path, extra):
     ("mgumicr", ["--soloUMIfiltering", "MultiGeneUMI_CR",
                  "--soloUMIdedup", "1MM_CR"]),
 ])
-def test_solo3_modes(tmp_path, name, extra):
-    prefix = _run(tmp_path, extra)
+def test_solo3_modes(tmp_path, name, extra, use_device):
+    prefix = _run(tmp_path, extra, use_device=use_device)
     _diff_tree(os.path.join(G3, name, "Solo.out"), prefix + "Solo.out")
 
 

@@ -10,7 +10,7 @@ from tests.conftest import DATA, GOLD
     ("2pass", ["--twopassMode", "Basic"], "se_2pass"),
     ("bysjout", ["--outFilterType", "BySJout"], "se_bysjout"),
 ])
-def test_mode_golden(tmp_path, genome_index, mode, extra, gold):
+def test_mode_golden(tmp_path, genome_index, mode, extra, gold, use_device):
     from star_tpu.params import Parameters
     from star_tpu.run import align_reads
     prefix = str(tmp_path) + "/"
@@ -18,7 +18,7 @@ def test_mode_golden(tmp_path, genome_index, mode, extra, gold):
                     "--readFilesIn", os.path.join(DATA, "reads_se.fastq"),
                     "--outFileNamePrefix", prefix,
                     "--outSAMunmapped", "Within", *extra])
-    align_reads(P, gi=genome_index, use_device=False)
+    align_reads(P, gi=genome_index, use_device=use_device)
     got = [l for l in open(prefix + "Aligned.out.sam") if not l.startswith("@")]
     want = [l for l in open(os.path.join(GOLD, gold, "Aligned.out.sam"))
             if not l.startswith("@")]
@@ -28,7 +28,7 @@ def test_mode_golden(tmp_path, genome_index, mode, extra, gold):
         assert a.read() == b.read()
 
 
-def test_twopass_pass1_sj(tmp_path, genome_index):
+def test_twopass_pass1_sj(tmp_path, genome_index, use_device):
     from star_tpu.params import Parameters
     from star_tpu.run import align_reads
     prefix = str(tmp_path) + "/"
@@ -36,7 +36,7 @@ def test_twopass_pass1_sj(tmp_path, genome_index):
                     "--readFilesIn", os.path.join(DATA, "reads_se.fastq"),
                     "--outFileNamePrefix", prefix,
                     "--outSAMunmapped", "Within", "--twopassMode", "Basic"])
-    align_reads(P, gi=genome_index, use_device=False)
+    align_reads(P, gi=genome_index, use_device=use_device)
     with open(prefix + "_STARpass1/SJ.out.tab") as a, \
          open(os.path.join(GOLD, "se_2pass", "_STARpass1", "SJ.out.tab")) as b:
         assert a.read() == b.read()
