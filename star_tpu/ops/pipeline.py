@@ -30,12 +30,15 @@ from .sa_search import DeviceIndex, make_mmp_fn
 MAXP = 64  # probes per chain cap (matches the round-1 64-round cap)
 
 
-def make_seed_loop(di: DeviceIndex, seed_map_min: int):
-    """returns jitted fn over fixed-shape chain arrays:
-        (chainview [NC, QL] int8, piece_len [NC], istart_l [NC], active0 [NC])
-          -> (maxl, nrep, lo, hi) [NC, MAXP] int32, nprobes [NC] int32
+def make_seed_round(di: DeviceIndex):
+    """returns jitted fn for ONE probe round over compacted chain lanes:
+        (chainview [B, QL] int8, offs [B], seed_len [B], valid [B])
+          -> (maxl, nrep, lo, hi) each [B] int32
     chainview: the chain's piece bytes in search direction (complemented for
-    the reverse direction) starting at column 0, -1 padded."""
+    the reverse direction) starting at column 0, -1 padded.  The round loop
+    itself runs on host (numpy state updates are trivial) so that later
+    rounds dispatch only the surviving chains — actives collapse ~3x per
+    round, so lockstep full-lane rounds would waste most of the device time."""
     mmp = make_mmp_fn(di)
     QL = di.ql
 
@@ -51,47 +54,18 @@ def make_seed_loop(di: DeviceIndex, seed_map_min: int):
             x = jnp.where((s[:, None] & k) != 0, shifted, x)
         return x
 
-    def seed_loop(t2f, saf, saif, chainview, piece_len, istart_l, active0):
-        NC = chainview.shape[0]
-        zeros = jnp.zeros((NC, MAXP), dtype=jnp.int32)
+    def seed_round(t2f, saf, saif, chainview, offs, seed_len, valid):
+        B = chainview.shape[0]
+        q = shift_rows(chainview, offs)
+        pos = jax.lax.broadcasted_iota(jnp.int32, (B, QL), 1)
+        q = jnp.where(pos < seed_len[:, None], q, -1)
+        return mmp(t2f, saf, saif, q, jnp.maximum(seed_len, 0), valid=valid)
 
-        def cond(st):
-            k, active, *_ = st
-            return (k < MAXP) & jnp.any(active)
+    jitted = jax.jit(seed_round)
 
-        def body(st):
-            k, active, l_mapped, oml, onr, olo, ohi, nprobes = st
-            offs = istart_l + l_mapped
-            q = shift_rows(chainview, offs)
-            seed_len = piece_len - l_mapped - istart_l
-            pos = jax.lax.broadcasted_iota(jnp.int32, (NC, QL), 1)
-            q = jnp.where(pos < seed_len[:, None], q, -1)
-            maxl, nrep, lo, hi = mmp(t2f, saf, saif, q,
-                                     jnp.maximum(seed_len, 0), valid=active)
-            maxl = jnp.where(active, maxl, 0)
-            sel = (jax.lax.broadcasted_iota(jnp.int32, (NC, MAXP), 1) == k) \
-                & active[:, None]
-            oml = jnp.where(sel, maxl[:, None], oml)
-            onr = jnp.where(sel, nrep[:, None], onr)
-            olo = jnp.where(sel, lo[:, None], olo)
-            ohi = jnp.where(sel, hi[:, None], ohi)
-            nprobes = nprobes + active.astype(jnp.int32)
-            l_mapped = l_mapped + jnp.where(active, maxl, 0)
-            active = active & (maxl > 0) & \
-                (istart_l + l_mapped + seed_map_min < piece_len)
-            return k + 1, active, l_mapped, oml, onr, olo, ohi, nprobes
-
-        st = (jnp.int32(0), active0, jnp.zeros(NC, dtype=jnp.int32),
-              zeros, zeros, zeros, zeros, jnp.zeros(NC, dtype=jnp.int32))
-        _, _, _, oml, onr, olo, ohi, nprobes = jax.lax.while_loop(
-            cond, body, st)
-        return oml, onr, olo, ohi, nprobes
-
-    jitted = jax.jit(seed_loop)
-
-    def call(chainview, piece_len, istart_l, active0):
-        return jitted(di.t2f, di.saf, di.saif, chainview, piece_len,
-                      istart_l, active0)
+    def call(chainview, offs, seed_len, valid):
+        return jitted(di.t2f, di.saf, di.saif, chainview, offs, seed_len,
+                      valid)
 
     return call
 
@@ -106,21 +80,20 @@ class DeviceAligner:
         self.seed_loop = None
         self._ql = None
 
-    # (genome id, ql, seedMapMin) -> (DeviceIndex, seed_loop); retracing and
-    # relowering a jit costs seconds, so repeated align_reads calls in one
-    # process (two-pass, BySJout stage 2, benchmarks) must share one kernel
+    # (genome id, ql) -> (DeviceIndex, seed_round); retracing and relowering
+    # a jit costs seconds, so repeated align_reads calls in one process
+    # (two-pass, BySJout stage 2, benchmarks) must share one kernel
     _kernel_cache = {}
 
     def _ensure_kernel(self, max_read_len: int):
         setup_jax_cache()
         ql = ((max_read_len + 2 + 127) // 128) * 128
         if self.di is None or ql > self._ql:
-            key = (id(self.gi), ql, self.P.seedMapMin)
+            key = (id(self.gi), ql)
             if key not in self._kernel_cache:
                 di = DeviceIndex.build(self.gi, ql=ql)
-                self._kernel_cache[key] = (di, make_seed_loop(
-                    di, self.P.seedMapMin))
-            self.di, self.seed_loop = self._kernel_cache[key]
+                self._kernel_cache[key] = (di, make_seed_round(di))
+            self.di, self.seed_round = self._kernel_cache[key]
             self._ql = ql
 
     # -------------------------------------------------------------- batching
@@ -203,34 +176,72 @@ class DeviceAligner:
             stats.add_read(out)
             yield out
 
-    SMALL_LANES = 2048
-    WAVE_LANES = 16384
+    # fixed lane buckets: compiles happen once per shape and the
+    # persistent cache stays hot
+    LANE_BUCKETS = (2048, 16384)
+
+    def _dispatch(self, cv, offs, slen, n):
+        """pad one compacted round to a lane bucket and run it"""
+        lanes = next((b for b in self.LANE_BUCKETS if n <= b),
+                     ((n + self.LANE_BUCKETS[-1] - 1)
+                      // self.LANE_BUCKETS[-1]) * self.LANE_BUCKETS[-1])
+        QL = cv.shape[1]
+        cvp = np.full((lanes, QL), -1, dtype=np.int8)
+        cvp[:n] = cv
+        op = np.zeros(lanes, dtype=np.int32)
+        op[:n] = offs
+        sp = np.zeros(lanes, dtype=np.int32)
+        sp[:n] = slen
+        val = np.zeros(lanes, dtype=bool)
+        val[:n] = True
+        out = self.seed_round(cvp, op, sp, val)
+        return [np.asarray(x)[:n] for x in out]
 
     def _run_chains(self, read_mat, c_read, c_pstart, c_plen, c_dir, c_istl):
-        """device seed loop over fixed-size chain waves.  Only two executable
-        shapes exist (SMALL_LANES for small batches, WAVE_LANES otherwise)
-        so compiles happen once and the persistent cache stays hot."""
+        """the reference's per-read seed loop (ReadAlign_mapOneRead.cpp:65-78)
+        as batched device rounds with host-side chain compaction: each round
+        dispatches only the chains still alive (actives collapse ~3x/round)"""
         NC = len(c_read)
         QL = self._ql
+        P = self.P
         shift0 = np.where(c_dir == 0, c_pstart, c_pstart + c_plen - 1)
         chainview = _build_queries(read_mat, c_read, shift0, c_plen, c_dir, QL)
-        lanes = self.SMALL_LANES if NC <= self.SMALL_LANES else self.WAVE_LANES
-        outs = []
-        for w0 in range(0, NC, lanes):
-            w1 = min(w0 + lanes, NC)
-            n = w1 - w0
-            cv = np.full((lanes, QL), -1, dtype=np.int8)
-            cv[:n] = chainview[w0:w1]
-            plen = np.zeros(lanes, dtype=np.int32)
-            plen[:n] = c_plen[w0:w1]
-            istl = np.zeros(lanes, dtype=np.int32)
-            istl[:n] = c_istl[w0:w1]
-            act = np.zeros(lanes, dtype=bool)
-            act[:n] = c_istl[w0:w1] + self.P.seedMapMin < c_plen[w0:w1]
-            res = [np.asarray(x)[:n] for x in
-                   self.seed_loop(cv, plen, istl, act)]
-            outs.append(res)
-        return tuple(np.concatenate([o[i] for o in outs]) for i in range(5))
+
+        l_mapped = np.zeros(NC, dtype=np.int32)
+        active = c_istl + P.seedMapMin < c_plen
+        oml = np.zeros((NC, MAXP), dtype=np.int32)
+        onr = np.zeros((NC, MAXP), dtype=np.int32)
+        olo = np.zeros((NC, MAXP), dtype=np.int32)
+        ohi = np.zeros((NC, MAXP), dtype=np.int32)
+        nprobes = np.zeros(NC, dtype=np.int32)
+
+        for k in range(MAXP):
+            idx = np.nonzero(active)[0]
+            if len(idx) == 0:
+                break
+            offs = c_istl[idx] + l_mapped[idx]
+            slen = c_plen[idx] - l_mapped[idx] - c_istl[idx]
+            # big rounds split into full waves
+            maxl = np.empty(len(idx), dtype=np.int32)
+            nrep = np.empty_like(maxl)
+            lo = np.empty_like(maxl)
+            hi = np.empty_like(maxl)
+            W = self.LANE_BUCKETS[-1]
+            for w0 in range(0, len(idx), W):
+                w1 = min(w0 + W, len(idx))
+                sl = idx[w0:w1]
+                r = self._dispatch(chainview[sl], offs[w0:w1], slen[w0:w1],
+                                   w1 - w0)
+                maxl[w0:w1], nrep[w0:w1], lo[w0:w1], hi[w0:w1] = r
+            oml[idx, k] = maxl
+            onr[idx, k] = nrep
+            olo[idx, k] = lo
+            ohi[idx, k] = hi
+            nprobes[idx] += 1
+            l_mapped[idx] += maxl
+            active[idx] = (maxl > 0) & \
+                (c_istl[idx] + l_mapped[idx] + P.seedMapMin < c_plen[idx])
+        return oml, onr, olo, ohi, nprobes
 
 
 def _replay_store_aligns(P, n_reads, c_read, c_pstart, c_plen, c_dir,
