@@ -19,7 +19,7 @@ class Transcript:
         "nMatch", "nMM", "mappedLength", "extendL", "maxScore",
         "nGap", "lGap", "nDel", "nIns", "lDel", "lIns",
         "nUnique", "nAnchor", "sjMotifStrand", "intronMotifs", "sjYes",
-        "Lread",
+        "Lread", "haploType",
         "varInd", "varGenCoord", "varReadCoord", "varAllele",
     )
 
@@ -62,6 +62,7 @@ class Transcript:
         self.intronMotifs = [0, 0, 0]
         self.sjYes = False
         self.Lread = 0
+        self.haploType = 0  # diploid-transform haplotype (Transcript.h:37)
         # SNP annotations (Transcript.h:56-58); None until variation_adjust
         self.varInd = None
         self.varGenCoord = None
@@ -104,6 +105,7 @@ class Transcript:
         t.sjMotifStrand = self.sjMotifStrand
         t.sjYes = self.sjYes
         t.Lread = self.Lread
+        t.haploType = self.haploType
         t.intronMotifs = self.intronMotifs[:]
         t.varInd = self.varInd[:] if self.varInd is not None else None
         t.varGenCoord = self.varGenCoord[:] if self.varGenCoord is not None else None

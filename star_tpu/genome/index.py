@@ -49,6 +49,7 @@ class GenomeIndex:
     sjdb_shift_left: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int8))
     sjdb_shift_right: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int8))
     sjdb_strand: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int8))
+    transform_type: int = 0   # STARconsensus: 0 none / 1 haploid / 2 diploid
 
     @property
     def n_genome(self) -> int:
@@ -121,6 +122,7 @@ class GenomeIndex:
             "genomeSAindexNbases": self.sa_index_nbases,
             "genomeSAsparseD": self.sa_sparse_d,
             "sjdbOverhang": self.sjdb_overhang,
+            "genomeTransformType": self.transform_type,
         }
         with open(os.path.join(genome_dir, "star_tpu.meta.json"), "w") as f:
             json.dump(meta, f, indent=1)
@@ -139,6 +141,8 @@ class GenomeIndex:
             f.write(f"genomeSAindexNbases\t{self.sa_index_nbases}\n")
             f.write(f"genomeSAsparseD\t{self.sa_sparse_d}\n")
             f.write(f"sjdbOverhang\t{self.sjdb_overhang}\n")
+            f.write("genomeTransformType\t%s\n"
+                    % {0: "None", 1: "Haploid", 2: "Diploid"}[self.transform_type])
 
     @classmethod
     def load(cls, genome_dir: str) -> "GenomeIndex":
@@ -165,6 +169,7 @@ class GenomeIndex:
                    sa_index_nbases=meta["genomeSAindexNbases"],
                    sa_sparse_d=meta["genomeSAsparseD"],
                    sjdb_n=sjn, sj_gstart=sjg, sjdb_overhang=sjo,
+                   transform_type=int(meta.get("genomeTransformType", 0)),
                    sj_dstart=z["sj_dstart"], sj_astart=z["sj_astart"],
                    sjdb_start=z["sjdb_start"], sjdb_end=z["sjdb_end"],
                    sjdb_motif=z["sjdb_motif"],
@@ -183,11 +188,13 @@ class GenomeIndex:
         with open(os.path.join(genome_dir, "Genome"), "rb") as f:
             G = np.frombuffer(f.read(), dtype=np.int8)
         sjdb_overhang = int(params.get("sjdbOverhang", 0))
-        sjdb_kw = {}
+        ttype = {"None": 0, "Haploid": 1, "Diploid": 2}.get(
+            str(params.get("genomeTransformType", "None")), 0)
+        sjdb_kw = {"transform_type": ttype}
         n_genome = n_genome_pad
         sjdb_info = os.path.join(genome_dir, "sjdbInfo.txt")
         if os.path.exists(sjdb_info):
-            sjdb_kw = _read_sjdb_info(sjdb_info, n_genome_pad)
+            sjdb_kw.update(_read_sjdb_info(sjdb_info, n_genome_pad))
             n_genome = n_genome_pad + sjdb_kw.pop("_n_sj_bases")
         G = G[:n_genome]
         limit_sjdb_insert = 1000000

@@ -208,14 +208,18 @@ def insert_junctions(gi, sjdb: SjdbLoci, P, out_dir: str = None):
         sjdb_strand=res["strand"])
 
 
-def insert_junctions_from_annotations(gi, P, out_dir: str = None):
-    """genomeGenerate-time sjdb insertion from GTF and/or tab files"""
+def insert_junctions_from_annotations(gi, P, out_dir: str = None, ann=None):
+    """genomeGenerate-time sjdb insertion from GTF and/or tab files.
+    `ann` overrides GTF parsing with pre-built (e.g. genome-transformed)
+    annotation loci (reference: Genome_transformGenome.cpp transformExonLoci)."""
     gi.sjdb_overhang = P.sjdbOverhang
     sjdb = SjdbLoci()
     if P.sjdbFileChrStartEnd[0] != "-":
         for path in P.sjdbFileChrStartEnd:
             load_sjdb_file(path, sjdb, priority=10)
-    if P.sjdbGTFfile != "-":
+    if ann is not None:
+        transcript_gene_sj(ann, gi, out_dir or P.genomeDir, sjdb)
+    elif P.sjdbGTFfile != "-":
         ann = parse_gtf(P.sjdbGTFfile, gi, P)
         transcript_gene_sj(ann, gi, out_dir or P.genomeDir, sjdb)
     return insert_junctions(gi, sjdb, P, out_dir or P.genomeDir)

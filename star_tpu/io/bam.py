@@ -280,6 +280,10 @@ def encode_mapped(tr, res, n_tr_out, i_tr, gi, P, attrs_order=None) -> List[byte
                 mops = _cigar_ops(tr, 1 - imate, i_ex_mate, left_mate, res)[0]
                 mc = "".join(f"{l}{'MIDNSHP=X'[op]}" for op, l in mops)
                 attrs += attr_str("MC", mc)
+            elif attr == "ha":
+                # diploid-transform haplotype (ReadAlign_alignBAM.cpp:369-372)
+                if getattr(P, "_transform_type", 0) == 2:
+                    attrs += b"hai" + struct.pack("<i", tr.haploType)
             else:
                 from .sam import solo_attr_value
                 v = solo_attr_value(attr, res, i_tr, P)

@@ -239,6 +239,10 @@ def transcript_sam(tr: Transcript, res: ReadResult, n_tr_out: int, i_tr: int,
             elif attr == "MC":
                 if n_mates > 1:
                     f.append(f"MC:Z:{mate_cigars[1 - imate]}")
+            elif attr == "ha":
+                # diploid-transform haplotype (outputTranscriptSAM.cpp:319-322)
+                if getattr(P, "_transform_type", 0) == 2:
+                    f.append(f"ha:i:{tr.haploType}")
             else:
                 v = solo_attr_value(attr, res, i_tr, P)
                 if v is not None:

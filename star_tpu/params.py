@@ -56,6 +56,8 @@ _DEFS: List[ParamDef] = [d for d in [
     ParamDef("genomeSAsparseD", "int", 1),
     ParamDef("genomeSuffixLengthMax", "int", -1),
     ParamDef("genomeTransformType", "str", "None"),
+    ParamDef("genomeTransformVCF", "str", "-"),
+    ParamDef("genomeTransformOutput", "str_list", ["None"]),
     # sjdb
     ParamDef("sjdbFileChrStartEnd", "str_list", ["-"]),
     ParamDef("sjdbGTFfile", "str", "-"),
@@ -432,6 +434,14 @@ class Parameters:
         self.quantTrSAMsoftClip = ban == "Singleend"
         self.quantTrSAMsingleEnd = False
         self.twopassYes = self.twopassMode == "Basic"
+        # STARconsensus genome transform (ParametersGenome.cpp:27-38)
+        self.transformTypeN = {"None": 0, "Haploid": 1, "Diploid": 2}.get(
+            self.genomeTransformType, 0)
+        self.transformOutSAM = "SAM" in self.genomeTransformOutput
+        self.transformOutSJ = "SJ" in self.genomeTransformOutput
+        self.transformOutQuant = "Quant" in self.genomeTransformOutput
+        self.transformOutYes = (self.transformOutSAM or self.transformOutSJ
+                                or self.transformOutQuant)
         self.chimMainSegmentMultNmaxEff = self.chimMainSegmentMultNmax
         self.chimFilterGenomicN = "banGenomicN" in self.chimFilter
         self.chimOutTypeJunctions = "Junctions" in self.chimOutType

@@ -23,6 +23,8 @@ from .stats import RunStats
 
 
 def genome_generate(P: Parameters):
+    if P.transformTypeN > 0:
+        return _genome_generate_transform(P)
     gi = GenomeIndex.generate(
         P.genomeFastaFiles, chr_bin_nbits=P.genomeChrBinNbits,
         sa_index_nbases=P.genomeSAindexNbases, sa_sparse_d=P.genomeSAsparseD)
@@ -31,6 +33,107 @@ def genome_generate(P: Parameters):
         gi.sjdb_overhang = P.sjdbOverhang
         gi = insert_junctions_from_annotations(gi, P, out_dir=P.genomeDir)
     gi.save(P.genomeDir)
+    return gi
+
+
+def _genome_generate_transform(P: Parameters):
+    """STARconsensus: apply the VCF to the genome, generate the transformed
+    index (+ conversion blocks), then a full index of the original genome in
+    OriginalGenome/ (reference: STAR.cpp:94-102, Genome_transformGenome.cpp)"""
+    import numpy as np
+    from types import SimpleNamespace
+    from .genome.fasta import scan_fasta_files, build_t2
+    from .genome.generate import sort_suffixes, build_sai
+    from .genome.transform import (load_transform_vcf, transform_chr_len_start,
+                                   transform_g_and_blocks, transform_exon_loci,
+                                   write_blocks_tsv)
+    from .genome.gtf import parse_gtf, Annotation
+
+    ttype = P.transformTypeN
+    bin_nb = 1 << P.genomeChrBinNbits
+    G0, names0, chr_start0, chr_len0 = scan_fasta_files(
+        P.genomeFastaFiles, bin_nb)
+
+    ann = None
+    if P.sjdbGTFfile != "-":
+        shell = SimpleNamespace(chr_name=names0, chr_start=chr_start0,
+                                chr_length=chr_len0)
+        ann = parse_gtf(P.sjdbGTFfile, shell, P)
+
+    vcf_h = load_transform_vcf(P.genomeTransformVCF, names0, ttype)
+    per_h = []
+    for ih in range(ttype):
+        per_h.append(transform_chr_len_start(
+            vcf_h[ih], names0, chr_start0, chr_len0, bin_nb))
+
+    if ttype == 1:
+        filt, chr_start1, chr_len1 = per_h[0]
+        Gnew = np.full(chr_start1[-1], 5, dtype=np.int8)
+        blocks = []
+        transform_g_and_blocks(filt, names0, chr_start0, chr_len0,
+                               chr_start1, G0, Gnew, blocks)
+        if ann is not None:
+            ann.exon_loci = transform_exon_loci(ann.exon_loci, blocks)
+        names1 = list(names0)
+        starts1 = np.array(chr_start1, dtype=np.int64)
+        lens1 = np.array(chr_len1, dtype=np.int64)
+    else:
+        (f0, cs0_, cl0_), (f1, cs1_, cl1_) = per_h
+        off = cs0_[-1]
+        cs1_off = [c + off for c in cs1_]
+        Gnew = np.full(cs1_off[-1], 5, dtype=np.int8)
+        blocks = []
+        transform_g_and_blocks(f0, names0, chr_start0, chr_len0,
+                               cs0_, G0, Gnew, blocks)
+        blocks1 = []
+        transform_g_and_blocks(f1, names0, chr_start0, chr_len0,
+                               cs1_off, G0, Gnew, blocks1)
+        if ann is not None:
+            nTr, nGe = len(ann.transcript_id), len(ann.gene_id)
+            ex0 = transform_exon_loci(ann.exon_loci, blocks)
+            ex1 = transform_exon_loci(ann.exon_loci, blocks1)
+            if len(ex1):
+                ex1[:, 0] += nTr
+                ex1[:, 3] += nGe
+            ann = Annotation(
+                transcript_id=[t + "_h1" for t in ann.transcript_id]
+                + [t + "_h2" for t in ann.transcript_id],
+                transcript_strand=ann.transcript_strand * 2,
+                gene_id=[g + "_h1" for g in ann.gene_id]
+                + [g + "_h2" for g in ann.gene_id],
+                gene_attr=ann.gene_attr * 2,
+                exon_loci=np.concatenate([ex0, ex1], axis=0))
+        blocks = blocks + blocks1
+        names1 = [n + "_h1" for n in names0] + [n + "_h2" for n in names0]
+        starts1 = np.array(cs0_[:-1] + cs1_off, dtype=np.int64)
+        lens1 = np.array(cl0_ + cl1_, dtype=np.int64)
+
+    os.makedirs(P.genomeDir, exist_ok=True)
+    write_blocks_tsv(os.path.join(P.genomeDir, "transformGenomeBlocks.tsv"),
+                     blocks)
+
+    t2 = build_t2(Gnew)
+    sai = build_sai(t2, sa := sort_suffixes(t2), P.genomeSAindexNbases)
+    gi = GenomeIndex(
+        G=Gnew, t2=t2, sa=sa,
+        sai_level_start=sai["level_start"], sai_val=sai["val"],
+        sai_absent=sai["absent"], sai_nbit=sai["nbit"],
+        chr_name=names1, chr_start=starts1, chr_length=lens1,
+        chr_bin_nbits=P.genomeChrBinNbits,
+        sa_index_nbases=P.genomeSAindexNbases, sa_sparse_d=P.genomeSAsparseD)
+    if P.sjdbGTFfile != "-" or P.sjdbFileChrStartEnd[0] != "-":
+        from .genome.sjdb import insert_junctions_from_annotations
+        gi.sjdb_overhang = P.sjdbOverhang
+        gi = insert_junctions_from_annotations(gi, P, out_dir=P.genomeDir,
+                                               ann=ann)
+    gi.transform_type = ttype
+    gi.save(P.genomeDir)
+
+    # full original-genome index alongside (reference STAR.cpp:94-102)
+    P2 = P.clone(genomeTransformType="None", genomeTransformVCF="-",
+                 genomeDir=os.path.join(P.genomeDir, "OriginalGenome"))
+    P2.transformTypeN = 0
+    genome_generate(P2)
     return gi
 
 
@@ -114,7 +217,7 @@ def align_reads(P: Parameters, gi: Optional[GenomeIndex] = None, use_device=None
         P1 = P.clone(outSAMtype=["None"], outSAMunmapped=["None"],
                      outReadsUnmapped="None", outFileNamePrefix=pass1_dir,
                      twopassMode="None", outFilterType="Normal",
-                     quantMode=["-"],
+                     quantMode=["-"], genomeTransformOutput=["None"],
                      readMapNumber=(P.twopass1readsN
                                     if P.twopass1readsN >= 0 else P.readMapNumber))
         _run_mapping(P1, gi, use_device)
@@ -142,7 +245,26 @@ def _run_mapping(P: Parameters, gi: GenomeIndex, use_device=None) -> RunStats:
 
     stats = RunStats()
     stats.time_start_map = time.time()
-    sj = SJCollector(P, gi)     # final SJ.out.tab records
+
+    # STARconsensus: load the original genome + conversion blocks; all
+    # coordinate-bearing outputs switch to it (reference: STAR.cpp:138-142,
+    # Genome_genomeLoad.cpp:444-462)
+    gen_out = None
+    gi_o = gi
+    if P.transformOutYes:
+        from .genome.transform import GenomeOut
+        if getattr(gi, "transform_type", 0) == 0:
+            raise SystemExit(
+                "EXITING because of FATAL INPUT ERROR: outTransformOutput is "
+                "set, but the genome was generated without transformation\n"
+                "SOLUTION: use the default --genomeTransformOutput None, or "
+                "re-generate the genome with transformation options.")
+        gen_out = GenomeOut.load(P.genomeDir, gi.transform_type,
+                                 len(gi.chr_name))
+        gi_o = gen_out.gi
+    P._transform_type = getattr(gi, "transform_type", 0)
+
+    sj = SJCollector(P, gi_o)   # final SJ.out.tab records
     sj1 = SJCollector(P, gi)    # BySJout stage-1 records (all reads)
     sam_lines: List[str] = []
 
@@ -213,11 +335,28 @@ def _run_mapping(P: Parameters, gi: GenomeIndex, use_device=None) -> RunStats:
                     ascore(t, bytes(res.read1), bytes(res.read1rc), gi, P)
                 if P.chimOutTypeJunctions:
                     chim_lines.append(jline(chim, res, gi, P))
+        q_trs = None
+        if gen_out is not None:
+            # STARconsensus back-conversion (reference ReadAlign_transformGenome
+            # runs for every read with 0 < nTr <= outFilterMultimapNmax; the
+            # unmapped-within record then reports the converted best)
+            from .genome.transform import read_transform
+            read_transform(res, gen_out, P)
+            q_trs = ((res.transcripts_out, res.n_tr_out)
+                     if P.transformOutQuant else (res.transcripts, res.n_tr))
+            stats_set = (res.transcripts_out, res.n_tr_out)
+            if P.transformOutSAM:
+                res.transcripts = res.transcripts_out
+                res.n_tr = res.n_tr_out
+                if res.tr_best_out is not None:
+                    res.tr_best = res.tr_best_out
+        else:
+            stats_set = None
         if res.unmap_type < 0:
             sj.add_read(res.transcripts, res.n_tr)
-            stats.add_mapped(res)
+            stats.add_mapped(res, override=stats_set)
             if gene_counts is not None:
-                gene_counts.add_read(res.transcripts, res.n_tr)
+                gene_counts.add_read(*(q_trs or (res.transcripts, res.n_tr)))
             if tr_sam is not None:
                 quantt, enc, shim, w, rng = tr_sam
                 mm_max = min(P.outFilterMismatchNmax,
@@ -231,7 +370,7 @@ def _run_mapping(P: Parameters, gi: GenomeIndex, use_device=None) -> RunStats:
                         w.write(r)
         if bam is not None:
             bam.add_read(res)
-        write_read_sam(res, gi, P, sam_lines)
+        write_read_sam(res, gi_o, P, sam_lines)
         if res.unmap_type >= 0:
             stats.add_unmapped(res)
             if unmapped_streams is not None:
@@ -286,7 +425,7 @@ def _run_mapping(P: Parameters, gi: GenomeIndex, use_device=None) -> RunStats:
 
     if P.outSAMbool and P.outSAMtype[0] != "None" and P.outSAMmode != "None":
         with open(prefix + "Aligned.out.sam", "w") as f:
-            f.write(sam_header(gi, P))
+            f.write(sam_header(gi_o, P))
             for line in sam_lines:
                 if line:
                     f.write(line + "\n")

@@ -39,12 +39,16 @@ class RunStats:
         self.read_n += 1
         self.read_bases += sum(len(s) for s in res.seqs)
 
-    def add_mapped(self, res):
-        if res.n_tr > 1:
+    def add_mapped(self, res, override=None):
+        """override=(transcripts, n_tr): STARconsensus counts the CONVERTED
+        alignment set (reference ReadAlign_outputAlignments.cpp:25-36)"""
+        trs, n_tr = override if override is not None \
+            else (res.transcripts, res.n_tr)
+        if n_tr > 1:
             self.mapped_reads_m += 1
-        elif res.n_tr == 1:
+        elif n_tr == 1:
             self.mapped_reads_u += 1
-            tr = res.transcripts[0]
+            tr = trs[0]
             self.mapped_mm += tr.nMM
             self.mapped_ins_n += tr.nIns
             self.mapped_del_n += tr.nDel
