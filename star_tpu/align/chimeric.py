@@ -383,3 +383,296 @@ def junction_line(chim: ChimericResult, res, gi, P) -> str:
             f"\t{chim.chim_motif}\t{chim.chim_repeat0}\t{chim.chim_repeat1}\t{res.name}"
             f"\t{tr0.exons[0][1] - c0 + 1}\t{cigar_p(tr0, res, P)}"
             f"\t{tr1.exons[0][1] - c1 + 1}\t{cigar_p(tr1, res, P)}")
+
+
+# ---------------------------------------------------------------- mult path
+class ChimericSegmentM:
+    """one candidate chimeric segment (reference ChimericSegment.cpp)"""
+    __slots__ = ("align", "str_", "roS", "roE")
+
+    def __init__(self, tr: Transcript, lread: int, read_len0: int):
+        self.align = tr
+        self.str_ = _chim_str(tr)
+        if tr.Str == 0:
+            self.roS = tr.exons[0][0]
+            self.roE = tr.exons[-1][0] + tr.exons[-1][2] - 1
+        else:
+            self.roS = lread - tr.exons[-1][0] - tr.exons[-1][2]
+            self.roE = lread - tr.exons[0][0] - 1
+        if self.roS > read_len0:
+            self.roS -= 1
+        if self.roE > read_len0:
+            self.roE -= 1
+
+    def check(self, P) -> bool:
+        return (self.align.rLength >= P.chimSegmentMin
+                and self.align.intronMotifs[0] == 0)
+
+
+def _chim_align_score(seg1, seg2, P, read_len0) -> int:
+    """(reference chimericAlignScore, ChimericDetection_chimericDetectionMult.cpp:6-21)"""
+    if seg2.roS > seg1.roS:
+        overlap = 0 if seg2.roS > seg1.roE else seg1.roE - seg2.roS + 1
+    else:
+        overlap = 0 if seg2.roE < seg1.roS else seg2.roE - seg1.roS + 1
+    diff_mates = ((seg1.roE < read_len0 and seg2.roS >= read_len0)
+                  or (seg2.roE < read_len0 and seg1.roS >= read_len0))
+    if (seg1.roE > P.chimSegmentMin + seg1.roS + overlap
+            and seg2.roE > P.chimSegmentMin + seg2.roS + overlap
+            and (diff_mates
+                 or ((seg1.roE + P.chimSegmentReadGapMax + 1) >= seg2.roS
+                     and (seg2.roE + P.chimSegmentReadGapMax + 1) >= seg1.roS))):
+        return seg1.align.maxScore + seg2.align.maxScore - overlap
+    return 0
+
+
+class ChimericAlignM:
+    """stitched multimapping chimera (reference ChimericAlign.{h,cpp})"""
+    __slots__ = ("al1", "al2", "ex1", "ex2", "chimJ1", "chimJ2",
+                 "chimRepeat1", "chimRepeat2", "chimMotif", "chimStr",
+                 "chimScore", "stitched")
+
+    def __init__(self, seg1, seg2):
+        al1, al2 = seg1.align, seg2.align
+        s1, s2 = seg1, seg2
+        if al1.roStart > al2.roStart:
+            al1, al2 = al2, al1
+            s1, s2 = s2, s1
+        self.al1, self.al2 = al1, al2
+        self.ex1 = 0 if al1.Str == 1 else al1.nExons - 1
+        self.ex2 = 0 if al2.Str == 0 else al2.nExons - 1
+        self.chimStr = max(seg1.str_, seg2.str_)
+        self.chimJ1 = self.chimJ2 = 0
+        self.chimRepeat1 = self.chimRepeat2 = 0
+        self.chimMotif = 0
+        self.chimScore = 0
+        self.stitched = False
+
+    def check(self, P) -> bool:
+        """(reference ChimericAlign::chimericCheck)"""
+        a1, a2, e1, e2 = self.al1, self.al2, self.ex1, self.ex2
+        if not a1.exons[e1][3] <= a2.exons[e2][3]:
+            return False
+        return (a1.exons[e1][3] < a2.exons[e2][3]
+                or (a1.exons[e1][2] >= P.chimJunctionOverhangMin
+                    and a2.exons[e2][2] >= P.chimJunctionOverhangMin))
+
+    def stitch(self, res, read1, read1rc, gi, P):
+        """junction micro-optimization + rescoring
+        (reference ChimericAlign_chimericStitching.cpp)"""
+        if self.stitched:
+            return
+        self.stitched = True
+        G = gi.G_bytes
+        lread = res.lread
+        read_len0 = res.read_length[0]
+        a1 = self.al1 = self.al1.copy()
+        a2 = self.al2 = self.al2.copy()
+        e1, e2 = self.ex1, self.ex2
+
+        if a1.exons[e1][3] < a2.exons[e2][3]:
+            # mates bracket the chimeric junction
+            self.chimMotif = -1
+            if a1.Str == 1:
+                self.chimJ1 = a1.exons[e1][1] - 1
+            else:
+                self.chimJ1 = a1.exons[e1][1] + a1.exons[e1][2]
+            if a2.Str == 0:
+                self.chimJ2 = a2.exons[e2][1] - 1
+            else:
+                self.chimJ2 = a2.exons[e2][1] + a2.exons[e2][2]
+        else:
+            # junction within a mate: scan for the best junction point
+            ro0 = a1.exons[e1][0] if a1.Str == 0 else \
+                lread - a1.exons[e1][0] - a1.exons[e1][2]
+            ro1 = a2.exons[e2][0] if a2.Str == 0 else \
+                lread - a2.exons[e2][0] - a2.exons[e2][2]
+            jr_best = 0
+            j_score = 0
+            j_score_best = -999999
+            self.chimMotif = 0
+            jr_max = ro1 + a2.exons[e2][2]
+            jr_max = jr_max - ro0 - 1 if jr_max > ro0 else 0
+            jr = 0
+            while jr < jr_max:
+                if jr == read_len0:
+                    jr += 1
+                b_r = read1[ro0 + jr]
+                if a1.Str == 0:
+                    b0 = G[a1.exons[e1][1] + jr]
+                else:
+                    b0 = G[a1.exons[e1][1] + a1.exons[e1][2] - 1 - jr]
+                    if b0 < 4:
+                        b0 = 3 - b0
+                if a2.Str == 0:
+                    b1 = G[a2.exons[e2][1] - ro1 + ro0 + jr]
+                else:
+                    b1 = G[a2.exons[e2][1] + a2.exons[e2][2] - 1 + ro1 - ro0 - jr]
+                    if b1 < 4:
+                        b1 = 3 - b1
+                if (P.chimFilterGenomicN and (b0 > 3 or b1 > 3)) or b_r > 3:
+                    self.chimScore = 0
+                    return
+                if a1.Str == 0:
+                    b01 = G[a1.exons[e1][1] + jr + 1]
+                    b02 = G[a1.exons[e1][1] + jr + 2]
+                else:
+                    b01 = G[a1.exons[e1][1] + a1.exons[e1][2] - 1 - jr - 1]
+                    if b01 < 4:
+                        b01 = 3 - b01
+                    b02 = G[a1.exons[e1][1] + a1.exons[e1][2] - 1 - jr - 2]
+                    if b02 < 4:
+                        b02 = 3 - b02
+                if a2.Str == 0:
+                    b11 = G[a2.exons[e2][1] - ro1 + ro0 + jr - 1]
+                    b12 = G[a2.exons[e2][1] - ro1 + ro0 + jr]
+                else:
+                    b11 = G[a2.exons[e2][1] + a2.exons[e2][2] - 1 + ro1 - ro0 - jr + 1]
+                    if b11 < 4:
+                        b11 = 3 - b11
+                    b12 = G[a2.exons[e2][1] + a2.exons[e2][2] - 1 + ro1 - ro0 - jr]
+                    if b12 < 4:
+                        b12 = 3 - b12
+                j_motif = 0
+                if b01 == 2 and b02 == 3 and b11 == 0 and b12 == 2:
+                    if self.chimStr != 2:
+                        j_motif = 1
+                elif b01 == 1 and b02 == 3 and b11 == 0 and b12 == 1:
+                    if self.chimStr != 1:
+                        j_motif = 2
+                if b_r == b0 and b_r != b1:
+                    j_score += 1
+                elif b_r != b0 and b_r == b1:
+                    j_score -= 1
+                j_score_j = j_score + P.chimScoreJunctionNonGTAG \
+                    if j_motif == 0 else j_score
+                if j_score_j > j_score_best or (j_score_j == j_score_best
+                                                and j_motif > 0):
+                    self.chimMotif = j_motif
+                    jr_best = jr
+                    j_score_best = j_score_j
+                jr += 1
+
+            # shift junction into the transcripts
+            if a1.Str == 1:
+                a1.exons[e1][0] += a1.exons[e1][2] - jr_best - 1
+                a1.exons[e1][1] += a1.exons[e1][2] - jr_best - 1
+                a1.exons[e1][2] = jr_best + 1
+                self.chimJ1 = a1.exons[e1][1] - 1
+            else:
+                a1.exons[e1][2] = jr_best + 1
+                self.chimJ1 = a1.exons[e1][1] + a1.exons[e1][2]
+            if a2.Str == 0:
+                a2.exons[e2][0] += ro0 + jr_best + 1 - ro1
+                a2.exons[e2][1] += ro0 + jr_best + 1 - ro1
+                a2.exons[e2][2] = ro1 + a2.exons[e2][2] - ro0 - jr_best - 1
+                self.chimJ2 = a2.exons[e2][1] - 1
+            else:
+                a2.exons[e2][2] = ro1 + a2.exons[e2][2] - ro0 - jr_best - 1
+                self.chimJ2 = a2.exons[e2][1] + a2.exons[e2][2]
+
+            # micro-homology repeat lengths around the junction
+            for jr in range(100):
+                b0 = G[self.chimJ1 + jr] if a1.Str == 0 else G[self.chimJ1 - jr]
+                if a1.Str != 0 and b0 < 4:
+                    b0 = 3 - b0
+                b1 = G[self.chimJ2 + 1 + jr] if a2.Str == 0 else G[self.chimJ2 - 1 - jr]
+                if a2.Str != 0 and b1 < 4:
+                    b1 = 3 - b1
+                if b0 != b1:
+                    break
+            self.chimRepeat2 = jr
+            for jr in range(100):
+                b0 = G[self.chimJ1 - 1 - jr] if a1.Str == 0 else G[self.chimJ1 + 1 + jr]
+                if a1.Str != 0 and b0 < 4:
+                    b0 = 3 - b0
+                b1 = G[self.chimJ2 - jr] if a2.Str == 0 else G[self.chimJ2 + jr]
+                if a2.Str != 0 and b1 < 4:
+                    b1 = 3 - b1
+                if b0 != b1:
+                    break
+            self.chimRepeat1 = jr
+
+        if self.chimMotif >= 0 and (a1.exons[e1][2] < P.chimJunctionOverhangMin
+                                    or a2.exons[e2][2] < P.chimJunctionOverhangMin):
+            self.chimScore = 0
+            return
+        self.chimScore = (align_score(a1, read1, read1rc, gi, P)
+                          + align_score(a2, read1, read1rc, gi, P)
+                          + (P.chimScoreJunctionNonGTAG
+                             if self.chimMotif == 0 else 0))
+
+
+def detect_chimeric_mult(res, all_win_tr, read1, read1rc, gi, P):
+    """--chimMultimapNmax > 0 path: all window-pair segments, stitched and
+    kept within chimMultimapScoreRange of the best
+    (reference ChimericDetection_chimericDetectionMult.cpp).
+    Returns (records, chimN, best_index, min_score) or None."""
+    read_length = res.read_length
+    lread = res.lread
+    max_nonchim = res.tr_best.maxScore
+    max_possible = read_length[0] + read_length[1]
+    min_score = P.chimScoreMin
+    if max_nonchim >= min_score:
+        min_score = max_nonchim + 1
+    if max_possible - P.chimScoreDropMax > min_score:
+        min_score = max_possible - P.chimScoreDropMax
+
+    chim_aligns = []
+    best_score = 0
+    best_i = 0
+    n_w = len(all_win_tr)
+    for iw1 in range(n_w):
+        for ia1 in range(len(all_win_tr[iw1])):
+            seg1 = ChimericSegmentM(all_win_tr[iw1][ia1], lread, read_length[0])
+            if not seg1.check(P):
+                continue
+            for iw2 in range(iw1, n_w):
+                for ia2 in range(ia1 + 1 if iw1 == iw2 else 0,
+                                 len(all_win_tr[iw2])):
+                    seg2 = ChimericSegmentM(all_win_tr[iw2][ia2], lread,
+                                            read_length[0])
+                    if not seg2.check(P):
+                        continue
+                    if seg1.str_ != 0 and seg2.str_ != 0 \
+                            and seg2.str_ != seg1.str_:
+                        continue
+                    score = _chim_align_score(seg1, seg2, P, read_length[0])
+                    if score >= min_score:
+                        ch = ChimericAlignM(seg1, seg2)
+                        if not ch.check(P):
+                            continue
+                        ch.chimScore = score
+                        ch.stitch(res, read1, read1rc, gi, P)
+                        if ch.chimScore >= min_score:
+                            chim_aligns.append(ch)
+                            if ch.chimScore > best_score:
+                                best_score = ch.chimScore
+                                best_i = len(chim_aligns) - 1
+                                if best_score - P.chimMultimapScoreRange > min_score:
+                                    min_score = best_score - P.chimMultimapScoreRange
+    if best_score == 0:
+        return None
+    chim_n = sum(1 for c in chim_aligns if c.chimScore >= min_score)
+    if chim_n > P.chimMultimapNmax:
+        return None
+    return chim_aligns, chim_n, best_i, min_score
+
+
+def junction_line_mult(ch: ChimericAlignM, res, gi, P, chim_n, max_nonchim,
+                       pe_merged, best_score, max_possible) -> str:
+    """(reference ChimericAlign_chimericJunctionOutput.cpp)"""
+    a1, a2 = ch.al1, ch.al2
+    c1s = int(gi.chr_start[a1.Chr])
+    c2s = int(gi.chr_start[a2.Chr])
+    f = [gi.chr_name[a1.Chr], str(ch.chimJ1 - c1s + 1),
+         "+" if a1.Str == 0 else "-",
+         gi.chr_name[a2.Chr], str(ch.chimJ2 - c2s + 1),
+         "+" if a2.Str == 0 else "-",
+         str(ch.chimMotif), str(ch.chimRepeat1), str(ch.chimRepeat2),
+         res.name,
+         str(a1.exons[0][1] - c1s + 1), cigar_p(a1, res, P),
+         str(a2.exons[0][1] - c2s + 1), cigar_p(a2, res, P),
+         str(chim_n), str(max_possible), str(max_nonchim),
+         str(ch.chimScore), str(best_score), str(int(pe_merged))]
+    return "\t".join(f)

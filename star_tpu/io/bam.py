@@ -136,8 +136,10 @@ def bam_header_bytes(gi, P, cmd_line: str = "", chr_names=None, chr_lens=None,
     return out
 
 
-def _cigar_ops(tr, imate, i_ex_mate, left_mate, res):
-    """numeric CIGAR ops [(op,len)] for one mate; ops MIDNSHP=X -> 0..8"""
+def _cigar_ops(tr, imate, i_ex_mate, left_mate, res, align_type=-1):
+    """numeric CIGAR ops [(op,len)] for one mate; ops MIDNSHP=X -> 0..8.
+    Chimeric align_type -11/-12 hard-clips the left/right trim
+    (reference ReadAlign_alignBAM.cpp:237,273)."""
     from .sam import clip_trim_l
     read_length = res.read_length
     read_length_orig = getattr(res, "read_length_original", None) or read_length
@@ -149,7 +151,7 @@ def _cigar_ops(tr, imate, i_ex_mate, left_mate, res):
     trim_l1 = trim_l + tr.exons[i_ex1][0] - (
         0 if tr.exons[i_ex1][0] < read_length[left_mate] else read_length[left_mate] + 1)
     if trim_l1 > 0:
-        ops.append((4, trim_l1))
+        ops.append((5 if align_type == -11 else 4, trim_l1))
     for ii in range(i_ex1, i_ex2 + 1):
         if ii > i_ex1:
             gap_g = tr.exons[ii][1] - (tr.exons[ii - 1][1] + tr.exons[ii - 1][2])
@@ -166,12 +168,18 @@ def _cigar_ops(tr, imate, i_ex_mate, left_mate, res):
                else read_length[left_mate] + 1 + read_length_orig[mate]) \
         - tr.exons[i_ex2][0] - tr.exons[i_ex2][2] - trim_l
     if trim_r1 > 0:
-        ops.append((4, trim_r1))
+        ops.append((5 if align_type == -12 else 4, trim_r1))
     return ops, i_ex1, i_ex2, mate
 
 
-def encode_mapped(tr, res, n_tr_out, i_tr, gi, P, attrs_order=None) -> List[bytes]:
-    """binary records for all mates of one mapped alignment"""
+def encode_mapped(tr, res, n_tr_out, i_tr, gi, P, attrs_order=None,
+                  align_type=-1, mate_info=None, meta=None) -> List[bytes]:
+    """binary records for all mates of one mapped alignment.
+    align_type <= -10 encodes chimeric pieces (reference alignBAM):
+    -10 representative, -11/-12 hard-clipped supplementary (left/right),
+    -13 soft-clipped supplementary; mate_info=(mateChr, mateStartAbs,
+    mateStrand) supplies pairing fields for single-mate pieces; meta (list)
+    collects (chr, pos, flag, cigar_str, mapq, nm) per record for SA tags."""
     from .sam import _nm_md
     n_mates_read = len(res.seqs)
     flag_paired = n_mates_read == 2
@@ -189,7 +197,8 @@ def encode_mapped(tr, res, n_tr_out, i_tr, gi, P, attrs_order=None) -> List[byte
     if flag_paired:
         sam_flag_common = 0x1
         if i_ex_mate == tr.nExons - 1:
-            sam_flag_common += 0x8
+            if mate_info is None:
+                sam_flag_common += 0x8
         else:
             if (P.alignEndsProtrudeConcordant
                 or (tr.exons[0][1] <= tr.exons[i_ex_mate + 1][1] + tr.exons[0][0]
@@ -203,7 +212,10 @@ def encode_mapped(tr, res, n_tr_out, i_tr, gi, P, attrs_order=None) -> List[byte
     out = []
     for imate in range(n_mates):
         sam_flag = sam_flag_common
-        ops, i_ex1, i_ex2, mate = _cigar_ops(tr, imate, i_ex_mate, left_mate, res)
+        ops, i_ex1, i_ex2, mate = _cigar_ops(tr, imate, i_ex_mate, left_mate,
+                                             res, align_type)
+        if align_type in (-11, -12, -13):
+            sam_flag |= 0x800
         if mate == 0:
             sam_flag |= Str * 0x10
             if n_mates == 2:
@@ -214,6 +226,8 @@ def encode_mapped(tr, res, n_tr_out, i_tr, gi, P, attrs_order=None) -> List[byte
                 sam_flag |= Str * 0x20
         if flag_paired:
             sam_flag |= 0x40 if mate == 0 else 0x80
+            if n_mates == 1 and mate_info is not None and mate_info[2] == 1:
+                sam_flag |= 0x20  # chimeric mate strand (alignBAM:222)
         if not tr.primaryFlag:
             sam_flag |= 0x100
 
@@ -223,6 +237,12 @@ def encode_mapped(tr, res, n_tr_out, i_tr, gi, P, attrs_order=None) -> List[byte
         else:
             seq_out = revcomp_str(res.seqs[mate])
             qual_out = res.quals[mate][::-1]
+        if align_type == -11 and ops and ops[0][0] == 5:
+            seq_out = seq_out[ops[0][1]:]
+            qual_out = qual_out[ops[0][1]:]
+        elif align_type == -12 and ops and ops[-1][0] == 5:
+            seq_out = seq_out[:-ops[-1][1]]
+            qual_out = qual_out[:-ops[-1][1]]
 
         mapq = _mapq(n_tr_out, P)
         pos = tr.exons[i_ex1][1] - chr_start
@@ -234,6 +254,10 @@ def encode_mapped(tr, res, n_tr_out, i_tr, gi, P, attrs_order=None) -> List[byte
             next_pos = tr.exons[i_ex_mate + 1 if imate == 0 else 0][1] - chr_start
             tlen = tr.exons[-1][1] + tr.exons[-1][2] - tr.exons[0][1]
             tlen = tlen if imate == 0 else -tlen
+        elif mate_info is not None:
+            next_ref = mate_info[0]
+            next_pos = mate_info[1] - int(gi.chr_start[mate_info[0]])
+            tlen = 0
         else:
             next_ref = -1
             next_pos = -1
@@ -284,6 +308,9 @@ def encode_mapped(tr, res, n_tr_out, i_tr, gi, P, attrs_order=None) -> List[byte
                 # diploid-transform haplotype (ReadAlign_alignBAM.cpp:369-372)
                 if getattr(P, "_transform_type", 0) == 2:
                     attrs += b"hai" + struct.pack("<i", tr.haploType)
+            elif attr == "ch":
+                if align_type <= -10:
+                    attrs += attr_char("ch", "1")
             else:
                 from .sam import solo_attr_value
                 v = solo_attr_value(attr, res, i_tr, P)
@@ -306,8 +333,77 @@ def encode_mapped(tr, res, n_tr_out, i_tr, gi, P, attrs_order=None) -> List[byte
         else:
             rec += b"\xff" * len(seq_out)
         rec += attrs
+        if meta is not None:
+            cig = "".join(f"{l}{'MIDNSHP=X'[op]}" for op, l in ops)
+            meta.append((tr.Chr, pos, flag_final, cig, mapq,
+                         tag_nm if tag_nm is not None else 0))
         out.append((struct.pack("<I", len(rec)) + rec, tr.Chr, pos, imate))
     return out
+
+
+def encode_chimeric(al1, al2, res, i_tr, chim_n, is_best, gi, P):
+    """BAM records for one chimeric alignment pair, with mutual SA tags
+    (reference ChimericAlign_chimericBAMoutput.cpp)."""
+    tr_chim = [al1, al2]
+    chim_represent, chim_type = -999, 0
+    if al1.exons[0][3] != al1.exons[-1][3]:
+        chim_represent, chim_type = 0, 1
+    elif al2.exons[0][3] != al2.exons[-1][3]:
+        chim_represent, chim_type = 1, 1
+    elif al1.exons[0][3] != al2.exons[0][3]:
+        chim_represent, chim_type = -1, 2
+    else:
+        chim_represent = 0 if al1.maxScore > al2.maxScore else 1
+        chim_type = 3
+
+    recs = []
+    metas = []
+    bam_irepr = bam_isuppl = -1
+    for itr in range(2):
+        t = tr_chim[itr]
+        t.primaryFlag = is_best
+        mate_info = None
+        if chim_type == 2:
+            o = tr_chim[1 - itr]
+            mate_info = (o.Chr, o.exons[0][1],
+                         int(o.Str != o.exons[0][3]))
+            align_type = -10
+        elif chim_represent == itr:
+            align_type = -10
+            bam_irepr = len(recs)
+            if t.exons[0][3] != tr_chim[1 - itr].exons[0][3]:
+                bam_irepr += 1
+        else:
+            align_type = ((-12 if itr % 2 == t.Str else -11)
+                          if P.chimOutTypeHardClip else -13)
+            bam_isuppl = len(recs)
+            if chim_type == 1:
+                r = tr_chim[chim_represent]
+                iex = 0
+                while iex < r.nExons - 1 and r.exons[iex][3] == t.exons[0][3]:
+                    iex += 1
+                mate_info = (r.Chr, r.exons[iex][1],
+                             int(r.Str != r.exons[iex][3]))
+        out = encode_mapped(t, res, chim_n, i_tr, gi, P,
+                            align_type=align_type, mate_info=mate_info,
+                            meta=metas)
+        recs += out
+
+    final = []
+    for ii, (rec, c, p, m) in enumerate(recs):
+        tag_i = -1
+        if ii == bam_irepr:
+            tag_i = bam_isuppl
+        elif ii == bam_isuppl:
+            tag_i = bam_irepr
+        if tag_i >= 0:
+            oc, op, ofl, ocig, omq, onm = metas[tag_i]
+            sa = (f"{gi.chr_name[oc]},{op + 1},"
+                  f"{'-' if ofl & 0x10 else '+'},{ocig},{omq},{onm};")
+            body = rec[4:] + attr_str("SA", sa)
+            rec = struct.pack("<I", len(body)) + body
+        final.append((rec, c, p, m))
+    return final
 
 
 def _sj_arrays(tr, i_ex1, i_ex2, gi, chr_start):
@@ -413,6 +509,16 @@ class BamCollector:
                 self.unsorted.write(r)
             if self.coord is not None:
                 self.coord.append((c, p, key, r))
+
+    def add_chimeric(self, recs, i_read, i_tr):
+        """chimeric records precede the read's normal alignments in the
+        unsorted stream (oneRead calls chimericDetection before
+        outputAlignments)"""
+        for (r, c, p, m) in recs:
+            if self.unsorted:
+                self.unsorted.write(r)
+            if self.coord is not None:
+                self.coord.append((c, p, (i_read << 16) | (i_tr << 2) | m, r))
 
     def finish(self, solo_tags=None):
         """solo_tags: (read_info, wl_str, umi_l) to append CB/UB during the

@@ -198,6 +198,7 @@ _DEFS: List[ParamDef] = [d for d in [
     ParamDef("chimJunctionOverhangMin", "int", 20),
     ParamDef("chimOutType", "str_list", ["Junctions"]),
     ParamDef("chimMultimapNmax", "int", 0),
+    ParamDef("chimMultimapScoreRange", "int", 1),
     ParamDef("chimNonchimScoreDropMin", "int", 20),
     ParamDef("peOverlapNbasesMin", "int", 0),
     ParamDef("peOverlapMMp", "float", 0.01),
@@ -391,6 +392,11 @@ class Parameters:
             attrs = ["NH", "HI", "AS", "nM", "NM", "MD", "jM", "jI", "MC", "ch"]
         elif attrs == ["None"]:
             attrs = []
+        if ("WithinBAM" in self.chimOutType and self.chimSegmentMin >= 0
+                and "NM" not in attrs):
+            # WithinBAM forces the NM attribute for the SA tags
+            # (ParametersChimeric_initialize.cpp:99-102)
+            attrs = attrs + ["NM"]
         self.samAttrOrder = attrs
         for a in ("ch", "CR", "CY", "UR", "UY", "CB", "UB", "sM", "sS", "sQ",
                   "GX", "GN"):  # Parameters_samAttributes.cpp:226-242
@@ -447,6 +453,7 @@ class Parameters:
         self.chimOutTypeJunctions = "Junctions" in self.chimOutType
         self.chimOutTypeSAMold = "SeparateSAMold" in self.chimOutType
         self.chimOutTypeWithinBAM = "WithinBAM" in self.chimOutType
+        self.chimOutTypeHardClip = "SoftClip" not in self.chimOutType
         self.soloTypeYes = self.soloType[0] != "None"
         return self
 

@@ -326,15 +326,58 @@ def _run_mapping(P: Parameters, gi: GenomeIndex, use_device=None) -> RunStats:
             solo.add_read(res, "", "", getattr(res, "i_read_all", 0))
         # chimeric detection runs for every read with windows, including
         # reads failing the linear filters (reference: oneRead order)
+        chim_recorded = False
         if chim_stream is not None and getattr(res, "read1", None) is not None:
             detect, ascore, jline = chim_stream
-            chim = detect(res, res.all_win_tr, bytes(res.read1), gi, P)
-            if chim is not None:
-                stats.chimeric_all += 1
-                for t in chim.tr:
-                    ascore(t, bytes(res.read1), bytes(res.read1rc), gi, P)
-                if P.chimOutTypeJunctions:
-                    chim_lines.append(jline(chim, res, gi, P))
+            if P.chimMultimapNmax == 0:
+                chim = detect(res, res.all_win_tr, bytes(res.read1), gi, P)
+                if chim is not None:
+                    chim_recorded = True
+                    stats.chimeric_all += 1
+                    for t in chim.tr:
+                        ascore(t, bytes(res.read1), bytes(res.read1rc), gi, P)
+                    if P.chimOutTypeWithinBAM and bam is not None:
+                        from .io.bam import encode_chimeric
+                        bam.add_chimeric(
+                            encode_chimeric(chim.tr[0], chim.tr[1], res, 0, 1,
+                                            True, gi, P),
+                            getattr(res, "i_read_all", 0), 0)
+                    if P.chimOutTypeJunctions:
+                        chim_lines.append(jline(chim, res, gi, P))
+            elif res.tr_best.maxScore <= (res.read_length[0]
+                                          + res.read_length[1]
+                                          - P.chimNonchimScoreDropMin):
+                # multimapping chimeras (chimericDetectionMult)
+                from .align.chimeric import (detect_chimeric_mult,
+                                             junction_line_mult)
+                found = detect_chimeric_mult(
+                    res, res.all_win_tr, bytes(res.read1),
+                    bytes(res.read1rc), gi, P)
+                if found is not None:
+                    recs, chim_n, best_i, min_score = found
+                    chim_recorded = True
+                    stats.chimeric_all += 1
+                    best_score = recs[best_i].chimScore
+                    max_possible = res.read_length[0] + res.read_length[1]
+                    i_tr = 0
+                    for i, ch in enumerate(recs):
+                        if ch.chimScore < min_score:
+                            continue
+                        if P.chimOutTypeJunctions:
+                            chim_lines.append(junction_line_mult(
+                                ch, res, gi, P, chim_n, res.tr_best.maxScore,
+                                False, best_score, max_possible))
+                        if P.chimOutTypeWithinBAM and bam is not None:
+                            from .io.bam import encode_chimeric
+                            bam.add_chimeric(
+                                encode_chimeric(ch.al1, ch.al2, res, i_tr,
+                                                chim_n, i == best_i, gi, P),
+                                getattr(res, "i_read_all", 0), i_tr)
+                        i_tr += 1
+        if chim_recorded and P.chimOutTypeWithinBAM:
+            # the recorded chimera contains the representative portion, so
+            # the non-chimeric alignment is not output (oneRead.cpp:99-101)
+            return
         q_trs = None
         if gen_out is not None:
             # STARconsensus back-conversion (reference ReadAlign_transformGenome
@@ -460,8 +503,10 @@ def _run_mapping(P: Parameters, gi: GenomeIndex, use_device=None) -> RunStats:
         gene_counts.write(prefix + "ReadsPerGene.out.tab", n_unmapped)
     if chim_stream is not None and P.chimOutTypeJunctions:
         with open(prefix + "Chimeric.out.junction", "w") as f:
-            if P.chimOutJunctionFormat == 1:
-                f.write("chr_donorA\tbrkpt_donorA\tstrand_donorA\tchr_acceptorB\tbrkpt_acceptorB\tstrand_acceptorB\tjunction_type\trepeat_left_lenA\trepeat_right_lenB\tread_name\tstart_alnA\tcigar_alnA\tstart_alnB\tcigar_alnB\n")
+            if P.chimMultimapNmax > 0:
+                # column header only in multimapping mode
+                # (reference ParametersChimeric_initialize.cpp:48-71)
+                f.write("chr_donorA\tbrkpt_donorA\tstrand_donorA\tchr_acceptorB\tbrkpt_acceptorB\tstrand_acceptorB\tjunction_type\trepeat_left_lenA\trepeat_right_lenB\tread_name\tstart_alnA\tcigar_alnA\tstart_alnB\tcigar_alnB\tnum_chim_aln\tmax_poss_aln_score\tnon_chim_aln_score\tthis_chim_aln_score\tbestall_chim_aln_score\tPEmerged_bool\treadgrp\n")
             for l in chim_lines:
                 f.write(l + "\n")
             if P.chimOutJunctionFormat == 1:
