@@ -23,10 +23,16 @@ def _load():
     _tried = True
     if os.environ.get("STAR_TPU_NATIVE", "1") == "0":
         return None
-    so = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__)))), "native", "libsasort.so")
-    if not os.path.exists(so):
-        return None
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    so = os.path.join(root, "native", "libsasort.so")
+    src = os.path.join(root, "native", "sa_sort.cpp")
+    if (not os.path.exists(so)
+            or (os.path.exists(src)
+                and os.path.getmtime(src) > os.path.getmtime(so))):
+        # build on first use (fresh checkouts / bench environments)
+        if not _try_build(root, so, src):
+            return None
     try:
         lib = ctypes.CDLL(so)
         lib.sa_sort_suffixes.restype = ctypes.c_int64
@@ -37,6 +43,21 @@ def _load():
     except OSError:
         _lib = None
     return _lib
+
+
+def _try_build(root: str, so: str, src: str) -> bool:
+    if not os.path.exists(src):
+        return os.path.exists(so)
+    import subprocess
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-fopenmp",
+             src, "-o", so + ".tmp"],
+            check=True, capture_output=True, timeout=300)
+        os.replace(so + ".tmp", so)
+        return True
+    except Exception:
+        return os.path.exists(so)
 
 
 def native_available() -> bool:
