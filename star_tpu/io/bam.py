@@ -468,19 +468,85 @@ def encode_unmapped(res, gi, P, mate_mapped) -> List[bytes]:
 
 
 class BamCollector:
-    """collects records for unsorted and/or coordinate-sorted output"""
+    """collects records for unsorted and/or coordinate-sorted output.
+
+    Coordinate sorting uses genome-bin spill (reference: BAMoutput.cpp
+    coordBins + BAMbinSortByCoordinate.cpp): records are routed to bins by
+    genomic coordinate; a bin whose RAM buffer exceeds the per-bin cap spills
+    to a temp file; at finish each bin is loaded, sorted and written in bin
+    order — peak RAM is bounded by (bins in flight) x (per-bin cap)."""
+
+    SPILL_BYTES_PER_BIN = 32 << 20
 
     def __init__(self, gi, P, prefix: str):
         self.gi = gi
         self.P = P
         self.unsorted = BgzfWriter(prefix + "Aligned.out.bam") if P.outBAMunsorted else None
-        self.coord = [] if P.outBAMcoord else None
+        self.coord = None
         self.coord_path = prefix + "Aligned.sortedByCoord.out.bam"
+        if P.outBAMcoord:
+            self.n_bins = max(int(getattr(P, "outBAMsortingBinsN", 50)), 2)
+            g_total = int(gi.chr_start[-1]) + 1
+            self.bin_size = max(g_total // (self.n_bins - 1) + 1, 1)
+            self.coord = [[] for _ in range(self.n_bins)]
+            self._bin_bytes = [0] * self.n_bins
+            self._spill_files = [None] * self.n_bins
+            self._tmp_dir = prefix + "_STARtmp"
+            self._chr_start = gi.chr_start
         hdr = bam_header_bytes(gi, P)
         if self.unsorted:
             self.unsorted.write(hdr)
         self._hdr = bam_header_bytes(gi, P, sorted_coord=True)
         self.i_read = 0
+
+    # ---- spill machinery -------------------------------------------------
+    def _bin_of(self, c: int, p: int) -> int:
+        if c >= (1 << 30):
+            return self.n_bins - 1
+        gpos = int(self._chr_start[c]) + p
+        return min(gpos // self.bin_size, self.n_bins - 2)
+
+    def _coord_add(self, c, p, key, r):
+        b = self._bin_of(c, p)
+        self.coord[b].append((c, p, key, r))
+        self._bin_bytes[b] += len(r) + 48
+        if self._bin_bytes[b] > self.SPILL_BYTES_PER_BIN:
+            self._spill(b)
+
+    def _spill(self, b: int):
+        if self._spill_files[b] is None:
+            import os
+            os.makedirs(self._tmp_dir, exist_ok=True)
+            self._spill_files[b] = open(
+                f"{self._tmp_dir}/bamsort.bin{b}", "w+b")
+        f = self._spill_files[b]
+        for (c, p, key, r) in self.coord[b]:
+            f.write(struct.pack("<qqqI", c, p, key, len(r)))
+            f.write(r)
+        self.coord[b] = []
+        self._bin_bytes[b] = 0
+
+    def _load_bin(self, b: int):
+        recs = self.coord[b]
+        f = self._spill_files[b]
+        if f is not None:
+            f.seek(0)
+            spilled = []
+            while True:
+                hdr = f.read(28)
+                if len(hdr) < 28:
+                    break
+                c, p, key, ln = struct.unpack("<qqqI", hdr)
+                spilled.append((c, p, key, f.read(ln)))
+            f.close()
+            import os
+            try:
+                os.unlink(f"{self._tmp_dir}/bamsort.bin{b}")
+            except OSError:
+                pass
+            recs = spilled + recs
+        recs.sort(key=lambda t: (t[0], t[1], t[2]))
+        return recs
 
     def add_read(self, res):
         P, gi = self.P, self.gi
@@ -508,7 +574,7 @@ class BamCollector:
             if self.unsorted:
                 self.unsorted.write(r)
             if self.coord is not None:
-                self.coord.append((c, p, key, r))
+                self._coord_add(c, p, key, r)
 
     def add_chimeric(self, recs, i_read, i_tr):
         """chimeric records precede the read's normal alignments in the
@@ -518,7 +584,7 @@ class BamCollector:
             if self.unsorted:
                 self.unsorted.write(r)
             if self.coord is not None:
-                self.coord.append((c, p, (i_read << 16) | (i_tr << 2) | m, r))
+                self._coord_add(c, p, (i_read << 16) | (i_tr << 2) | m, r)
 
     def finish(self, solo_tags=None):
         """solo_tags: (read_info, wl_str, umi_l) to append CB/UB during the
@@ -527,13 +593,14 @@ class BamCollector:
         if self.unsorted:
             self.unsorted.close()
         if self.coord is not None:
-            self.coord.sort(key=lambda t: (t[0], t[1], t[2]))
             w = BgzfWriter(self.coord_path)
             w.write(self._hdr)
-            for (c, _, key, r) in self.coord:
-                if solo_tags is not None and c < (1 << 30):
-                    r = _add_cb_ub(r, key >> 16, *solo_tags)
-                w.write(r)
+            for b in range(self.n_bins):
+                for (c, _, key, r) in self._load_bin(b):
+                    if solo_tags is not None and c < (1 << 30):
+                        r = _add_cb_ub(r, key >> 16, *solo_tags)
+                    w.write(r)
+                self.coord[b] = []
             w.close()
 
 

@@ -185,6 +185,8 @@ _DEFS: List[ParamDef] = [d for d in [
     ParamDef("bamRemoveDuplicatesType", "str", "-"),
     ParamDef("bamRemoveDuplicatesMate2basesN", "int", 0),
     ParamDef("outBAMcompression", "int", 1),
+    ParamDef("outBAMsortingBinsN", "int", 50),
+    ParamDef("limitBAMsortRAM", "int", 0),
     # chimeric
     ParamDef("chimSegmentMin", "int", 0),
     ParamDef("chimScoreMin", "int", 0),

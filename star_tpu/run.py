@@ -266,7 +266,15 @@ def _run_mapping(P: Parameters, gi: GenomeIndex, use_device=None) -> RunStats:
 
     sj = SJCollector(P, gi_o)   # final SJ.out.tab records
     sj1 = SJCollector(P, gi)    # BySJout stage-1 records (all reads)
-    sam_lines: List[str] = []
+    # SAM text streams to disk as reads finish (bounded memory; the
+    # reference's mutex-serialized SAM flush, ReadAlignChunk_processChunks)
+    sam_on = (P.outSAMbool and P.outSAMtype[0] != "None"
+              and P.outSAMmode != "None")
+    sam_lines = _SamSink(prefix + "Aligned.out.sam" if sam_on else None,
+                         sam_header(gi_o, P) if sam_on else "")
+    log_out = _LogOut(prefix + "Log.out", P)
+    stats.open_progress(prefix + "Log.progress.out")
+    log_out.line("started mapping")
 
     bam = None
     if P.outBAMunsorted or P.outBAMcoord:
@@ -465,13 +473,10 @@ def _run_mapping(P: Parameters, gi: GenomeIndex, use_device=None) -> RunStats:
             s.close()
 
     stats.time_end_map = time.time()
+    stats.close_progress()
+    log_out.line("finished mapping")
 
-    if P.outSAMbool and P.outSAMtype[0] != "None" and P.outSAMmode != "None":
-        with open(prefix + "Aligned.out.sam", "w") as f:
-            f.write(sam_header(gi_o, P))
-            for line in sam_lines:
-                if line:
-                    f.write(line + "\n")
+    sam_lines.close()
     if tr_sam is not None:
         tr_sam[3].close()
     # Solo counting runs before the coordinate sort so CB/UB tags can be
@@ -513,7 +518,57 @@ def _run_mapping(P: Parameters, gi: GenomeIndex, use_device=None) -> RunStats:
                 f.write(f"# Nreads {stats.read_n}\tNreadsUnique {stats.mapped_reads_u}\tNreadsMulti {stats.mapped_reads_m}\n")
     with open(prefix + "Log.final.out", "w") as f:
         f.write(stats.report_final())
+    log_out.line("finished successfully")
+    log_out.close()
     return stats
+
+
+class _SamSink:
+    """streams SAM lines to disk as they are emitted (bounded memory;
+    reference: per-chunk SAM buffers flushed under mutexOutSAM)."""
+
+    def __init__(self, path, header: str):
+        self.f = open(path, "w") if path else None
+        if self.f is not None and header:
+            self.f.write(header)
+
+    def append(self, line: str):
+        if self.f is not None and line:
+            self.f.write(line + "\n")
+
+    def close(self):
+        if self.f is not None:
+            self.f.close()
+            self.f = None
+
+
+class _LogOut:
+    """main run log (reference: Log.out, InOutStreams.h logMain)"""
+
+    def __init__(self, path: str, P):
+        try:
+            self.f = open(path, "w")
+        except OSError:
+            self.f = None
+            return
+        from . import __version__
+        self.f.write(f"STAR version={__version__} (star-tpu)\n")
+        self.f.write("##### Command Line:\n" + " ".join(sys.argv) + "\n")
+        self.f.write("##### Final effective command line:\n")
+        self.f.write(f"   genomeDir {P.genomeDir}\n")
+        self.f.write(f"   readFilesIn {' '.join(P.readFilesIn)}\n")
+        self.f.write(f"   outFileNamePrefix {P.outFileNamePrefix}\n")
+        self.f.flush()
+
+    def line(self, msg: str):
+        if self.f is not None:
+            self.f.write(time.strftime("%b %d %H:%M:%S") + " ..... " + msg + "\n")
+            self.f.flush()
+
+    def close(self):
+        if self.f is not None:
+            self.f.close()
+            self.f = None
 
 
 def _has_novel_junction(res) -> bool:
@@ -536,15 +591,19 @@ def _align_all(P: Parameters, gi: GenomeIndex, stats: RunStats, use_device: bool
                 yield name, seqs, quals, ftype, bc
         reader0 = solo_reader()
         if use_device:
+            # stream: barcodes for in-flight reads are parked on a deque
+            # (results come back in input order), so memory stays O(batch)
+            from collections import deque
             from .ops.pipeline import DeviceAligner
             aligner = DeviceAligner(gi, P)
+            pending = deque()
+
             def plain(r):
-                for name, seqs, quals, ftype, bc in r:
+                for i, (name, seqs, quals, ftype, bc) in enumerate(r):
+                    pending.append((i, bc))
                     yield name, seqs, quals, ftype
-            items = list(reader0)
-            bcs = {it[0]: (i, it[4]) for i, it in enumerate(items)}
-            for res in aligner.align_stream(plain(iter(items)), stats):
-                ii, bc = bcs.get(res.name, (0, None))
+            for res in aligner.align_stream(plain(reader0), stats):
+                ii, bc = pending.popleft()
                 res.solo_bc = bc
                 res.i_read_all = ii
                 yield res

@@ -38,6 +38,59 @@ class RunStats:
     def add_read(self, res):
         self.read_n += 1
         self.read_bases += sum(len(s) for s in res.seqs)
+        if self._progress is not None and (self.read_n & 1023) == 0:
+            self._progress_report()
+
+    # ---- Log.progress.out (reference: Stats.cpp progressReport, 60 s gate)
+    _progress = None
+    _time_last_report = 0.0
+
+    def open_progress(self, path: str):
+        try:
+            self._progress = open(path, "w")
+        except OSError:
+            self._progress = None
+            return
+        w = ("Time".rjust(15) + "Speed".rjust(9) + "Read".rjust(12)
+             + "Read".rjust(9) + "Mapped".rjust(9) + "Mapped".rjust(9)
+             + "Mapped".rjust(9) + "Mapped".rjust(9) + "Unmapped".rjust(9)
+             + "Unmapped".rjust(9) + "Unmapped".rjust(9) + "Unmapped".rjust(9))
+        w2 = (" ".rjust(15) + "M/hr".rjust(9) + "number".rjust(12)
+              + "length".rjust(9) + "unique".rjust(9) + "length".rjust(9)
+              + "MMrate".rjust(9) + "multi".rjust(9) + "multi+".rjust(9)
+              + "MM".rjust(9) + "short".rjust(9) + "other".rjust(9))
+        self._progress.write(w + "\n" + w2 + "\n")
+        self._progress.flush()
+        self._time_last_report = time.time()
+
+    def _progress_report(self, force=False):
+        now = time.time()
+        if not force and now - self._time_last_report < 60.0:
+            return
+        self._time_last_report = now
+        n = self.read_n
+        dt = max(now - self.time_start_map, 1e-9)
+        pct = lambda x: f"{(x / n * 100 if n else 0):.1f}%"
+        row = (_ts(now).rjust(15)
+               + f"{n / 1e6 / dt * 3600:.1f}".rjust(9)
+               + str(n).rjust(12)
+               + str(self.read_bases // n if n else 0).rjust(9)
+               + pct(self.mapped_reads_u).rjust(9)
+               + f"{(self.mapped_bases / self.mapped_reads_u if self.mapped_reads_u else 0):.1f}".rjust(9)
+               + (f"{(self.mapped_mm / self.mapped_bases * 100 if self.mapped_bases else 0):.1f}%").rjust(9)
+               + pct(self.mapped_reads_m).rjust(9)
+               + pct(self.unmapped_multi).rjust(9)
+               + pct(self.unmapped_mm).rjust(9)
+               + pct(self.unmapped_short).rjust(9)
+               + pct(self.unmapped_other).rjust(9))
+        self._progress.write(row + "\n")
+        self._progress.flush()
+
+    def close_progress(self):
+        if self._progress is not None:
+            self._progress_report(force=True)
+            self._progress.close()
+            self._progress = None
 
     def add_mapped(self, res, override=None):
         """override=(transcripts, n_tr): STARconsensus counts the CONVERTED

@@ -100,3 +100,26 @@ def test_variation_wasp_golden(tmp_path, sub, extra, use_device):
     _, got = read_bam_records(prefix + "Aligned.out.bam")
     _, want = read_bam_records(os.path.join(GOLD, sub, "Aligned.out.bam"))
     assert got == want
+
+
+def test_bam_sort_spill(tmp_path, genome_index, monkeypatch):
+    """genome-bin spill sort must produce the same record stream as the
+    in-memory sort (bounded-memory path; reference BAMoutput.cpp bins)"""
+    from star_tpu.io.bam import BamCollector
+    monkeypatch.setattr(BamCollector, "SPILL_BYTES_PER_BIN", 256)
+    from star_tpu.params import Parameters
+    from star_tpu.run import align_reads
+    prefix = str(tmp_path) + "/"
+    P = Parameters(["--genomeDir", os.path.join(GOLD, "genome_idx"),
+                    "--readFilesIn", os.path.join(DATA, "reads_se.fastq"),
+                    "--outFileNamePrefix", prefix,
+                    "--outSAMunmapped", "Within",
+                    "--outSAMtype", "BAM", "SortedByCoordinate"])
+    align_reads(P, gi=genome_index, use_device=False)
+    _, mine = read_bam_records(prefix + "Aligned.sortedByCoord.out.bam")
+    _, want = read_bam_records(
+        os.path.join(GOLD, "se_bam", "Aligned.sortedByCoord.out.bam"))
+    assert mine == want
+    # progress + main logs exist (bounded-memory streaming side outputs)
+    assert os.path.exists(prefix + "Log.progress.out")
+    assert os.path.exists(prefix + "Log.out")
