@@ -89,10 +89,20 @@ class DeviceAligner:
         setup_jax_cache()
         ql = ((max_read_len + 2 + 127) // 128) * 128
         if self.di is None or ql > self._ql:
-            key = (id(self.gi), ql)
+            sharded = bool(getattr(self.P, "tpuShardedIndex", 0))
+            key = (id(self.gi), ql, sharded)
             if key not in self._kernel_cache:
-                di = DeviceIndex.build(self.gi, ql=ql)
-                self._kernel_cache[key] = (di, make_seed_round(di))
+                if sharded:
+                    # index row-sharded over the mesh "ix" axis; probe batch
+                    # data-parallel over "dp" (parallel/mesh.py)
+                    from ..parallel.mesh import (ShardedIndex, make_mesh,
+                                                 make_sharded_seed_round)
+                    mesh = make_mesh()
+                    si = ShardedIndex.build(self.gi, mesh, ql=ql)
+                    self._kernel_cache[key] = (si, make_sharded_seed_round(si))
+                else:
+                    di = DeviceIndex.build(self.gi, ql=ql)
+                    self._kernel_cache[key] = (di, make_seed_round(di))
             self.di, self.seed_round = self._kernel_cache[key]
             self._ql = ql
 

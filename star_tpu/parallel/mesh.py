@@ -218,3 +218,52 @@ def make_sharded_mmp(si: ShardedIndex):
                       si.sai_absent, si.sai_nbit)
 
     return mmp
+
+
+def make_sharded_seed_round(si: ShardedIndex):
+    """sharded drop-in for ops.pipeline.make_seed_round: one probe round over
+    compacted chain lanes, batch dim sharded over "dp", SA bisection sharded
+    over "ix".  (chainview [B, QL] int8, offs, seed_len, valid [B])
+      -> (maxl, nrep, lo, hi) each [B] int32, numpy."""
+    mmp = make_sharded_mmp(si)
+    QL = si.ql
+    dp = si.mesh.shape["dp"]
+
+    def call(chainview, offs, seed_len, valid):
+        B = chainview.shape[0]
+        # host-side barrel shift: lane i's bytes from column offs[i], -1 fill
+        k = np.arange(QL, dtype=np.int32)[None, :]
+        idx = offs[:, None] + k
+        q = np.where(idx < QL,
+                     np.take_along_axis(chainview, np.minimum(idx, QL - 1),
+                                        axis=1), -1).astype(np.int8)
+        slen = np.maximum(seed_len, 0)
+        q = np.where(k < slen[:, None], q, -1).astype(np.int8)
+        qlen = np.where(valid, slen, 0).astype(np.int32)
+        pad = (-B) % dp
+        if pad:
+            q = np.concatenate([q, np.full((pad, QL), -1, np.int8)])
+            qlen = np.concatenate([qlen, np.zeros(pad, np.int32)])
+        out = mmp(q, qlen)
+        maxl, nrep, lo, hi = (np.asarray(x)[:B] for x in out)
+        maxl = np.where(valid, maxl, 0)
+        return maxl, nrep, lo, hi
+
+    return call
+
+
+def psum_merge(tables: np.ndarray, mesh: Mesh) -> np.ndarray:
+    """merge per-dp-shard partial count tables with an ICI psum collective
+    (the TPU-native analog of the reference's thread-0 gene-count reduction,
+    source/STAR.cpp:258-265).  tables: [dp, ...] -> summed [...]."""
+    dp = mesh.shape["dp"]
+    assert tables.shape[0] == dp, (tables.shape, dp)
+
+    def f(x):
+        # x: this shard's [dp/dp=1, ...] slice -> replicated sum over "dp"
+        return jax.lax.psum(x.sum(axis=0), "dp")
+
+    mapped = jax.shard_map(
+        f, mesh=mesh,
+        in_specs=P("dp"), out_specs=P(), check_vma=False)
+    return np.asarray(jax.jit(mapped)(tables))

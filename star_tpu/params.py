@@ -238,6 +238,7 @@ _DEFS: List[ParamDef] = [d for d in [
     # framework-specific (no reference analog): device batching
     ParamDef("tpuBatchSize", "int", 4096),
     ParamDef("tpuUseDevice", "int", 1),
+    ParamDef("tpuShardedIndex", "int", 0),
 ] ]
 
 DEFS_BY_NAME: Dict[str, ParamDef] = {d.name: d for d in _DEFS}

@@ -288,7 +288,11 @@ def _run_mapping(P: Parameters, gi: GenomeIndex, use_device=None) -> RunStats:
         from .quant.transcriptome import Transcriptome, GeneCounts
         trm = Transcriptome.load(getattr(P, "trInfoDir", P.genomeDir))
         if P.quantModeGeneCounts:
-            gene_counts = GeneCounts(trm)
+            if getattr(P, "tpuShardedIndex", 0):
+                from .quant.transcriptome import ShardedGeneCounts
+                gene_counts = ShardedGeneCounts(trm)
+            else:
+                gene_counts = GeneCounts(trm)
     if P.quantModeTrSAM:
         from .quant.trsam import TrGenomeShim, quant_transcriptome
         from .io.bam import BgzfWriter, bam_header_bytes, encode_mapped

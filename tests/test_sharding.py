@@ -75,3 +75,27 @@ def test_device_pipeline_golden_se(tmp_path):
     names = {l.split("\t")[0] for l in got}
     want60 = [l for l in want if l.split("\t")[0] in names]
     assert got == want60
+
+
+def test_sharded_end_to_end_golden(tmp_path):
+    """full pipeline with --tpuShardedIndex 1 on the 8-device CPU mesh:
+    SAM + SJ + psum-merged gene counts byte-identical to reference goldens"""
+    import os
+    from tests.conftest import DATA, GOLD
+    from star_tpu.params import Parameters
+    from star_tpu.run import align_reads
+    prefix = str(tmp_path) + "/"
+    P = Parameters(["--genomeDir", os.path.join(GOLD, "genome_idx_gtf"),
+                    "--readFilesIn", os.path.join(DATA, "reads_se.fastq"),
+                    "--outFileNamePrefix", prefix,
+                    "--outSAMunmapped", "Within", "--quantMode", "GeneCounts",
+                    "--tpuShardedIndex", "1", "--tpuBatchSize", "128"])
+    align_reads(P, use_device=True)
+    got = [l for l in open(prefix + "Aligned.out.sam") if not l.startswith("@")]
+    want = [l for l in open(os.path.join(GOLD, "se_gtf", "Aligned.out.sam"))
+            if not l.startswith("@")]
+    assert got == want
+    assert (open(prefix + "SJ.out.tab").read()
+            == open(os.path.join(GOLD, "se_gtf", "SJ.out.tab")).read())
+    assert (open(prefix + "ReadsPerGene.out.tab").read()
+            == open(os.path.join(GOLD, "se_quant", "ReadsPerGene.out.tab")).read())
