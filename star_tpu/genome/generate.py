@@ -87,16 +87,20 @@ def build_sai(t2: np.ndarray, sa: np.ndarray, n_levels: int):
     """
     nsa = len(sa)
     L = n_levels
-    # prefix chars [nsa, L]; pad with spacers like the reference's guard band
+    # prefix value + first-bad position per SA row, computed in bounded-RAM
+    # chunks (an [nsa, L] materialization needs ~30 GB at chr-scale)
     t2p = np.concatenate([t2, np.full(L, 5, dtype=np.int8)])
-    idx = sa[:, None] + np.arange(L)[None, :]
-    chars = t2p[idx].astype(np.int64)
-    bad = chars > 3
-    il4 = np.where(bad.any(axis=1), bad.argmax(axis=1), L)  # first N/spacer pos, L if none
-    # full prefix value with post-N chars zeroed
-    ch0 = np.where(bad, 0, chars)
+    full = np.empty(nsa, dtype=np.int64)
+    il4 = np.empty(nsa, dtype=np.int8)
     pw = 4 ** np.arange(L - 1, -1, -1, dtype=np.int64)
-    full = ch0 @ pw
+    arL = np.arange(L, dtype=np.int64)[None, :]
+    CH = 1 << 23
+    for c0 in range(0, nsa, CH):
+        c1 = min(c0 + CH, nsa)
+        chars = t2p[sa[c0:c1, None] + arL]
+        bad = chars > 3
+        il4[c0:c1] = np.where(bad.any(axis=1), bad.argmax(axis=1), L)
+        full[c0:c1] = np.where(bad, 0, chars).astype(np.int64) @ pw
 
     level_start = np.zeros(L + 1, dtype=np.int64)
     for i in range(1, L + 1):
@@ -114,25 +118,22 @@ def build_sai(t2: np.ndarray, sa: np.ndarray, n_levels: int):
         valid = il4 >= lvl
         vpref = pref[valid]
         vrows = rows[valid]
-        # first occurrence of each distinct prefix among valid rows (SA order)
+        # first occurrence of each distinct prefix among valid rows (SA order;
+        # prefixes of valid rows are non-decreasing, so firsts are boundaries)
         first_mask = np.empty(len(vpref), dtype=bool)
         if len(vpref):
             first_mask[0] = True
             first_mask[1:] = vpref[1:] != vpref[:-1]
         pres_v = vpref[first_mask]
         pres_row = vrows[first_mask]
-        # present entries
+        # present entries hold their block's first SA row; absent entries
+        # point at the next present block's start (suffix-min scan: rows grow
+        # with slot index, so min-over-later == nearest present to the right)
         v = np.full(size, nsa, dtype=np.int64)
         ab = np.ones(size, dtype=bool)
         v[pres_v] = pres_row
         ab[pres_v] = False
-        # absent entries point at the next present block start
-        nxt = np.full(size, nsa, dtype=np.int64)
-        if len(pres_v):
-            pos = np.searchsorted(pres_v, np.arange(size), side="left")
-            inb = pos < len(pres_v)
-            nxt[inb] = pres_row[pos[inb]]
-        v = np.where(ab, nxt, v)
+        v = np.minimum.accumulate(v[::-1])[::-1]
         # N flag: invalid rows mark the most recent present block at <= row
         inv_rows = rows[~valid]
         if len(inv_rows) and len(pres_row):

@@ -104,10 +104,17 @@ class GenomeIndex:
     # ------------------------------------------------------------------- disk
     def save(self, genome_dir: str):
         os.makedirs(genome_dir, exist_ok=True)
-        np.savez_compressed(
+        # uncompressed + narrowest dtype: random-genome tables barely
+        # compress, and deflate costs minutes at chromosome scale
+        sa = self.sa
+        sai_val = self.sai_val
+        if len(sa) and 2 * self.n_genome < 2**31:
+            sa = sa.astype(np.int32)
+            sai_val = sai_val.astype(np.int32)
+        np.savez(
             os.path.join(genome_dir, "star_tpu.idx.npz"),
-            G=self.G, sa=self.sa,
-            sai_level_start=self.sai_level_start, sai_val=self.sai_val,
+            G=self.G, sa=sa,
+            sai_level_start=self.sai_level_start, sai_val=sai_val,
             sai_absent=self.sai_absent, sai_nbit=self.sai_nbit,
             chr_start=self.chr_start, chr_length=self.chr_length,
             sjdb_tables=np.array([self.sjdb_n, self.sj_gstart, self.sjdb_overhang], dtype=np.int64),
@@ -160,8 +167,9 @@ class GenomeIndex:
             meta = json.load(f)
         G = z["G"]
         sjn, sjg, sjo = [int(x) for x in z["sjdb_tables"]]
-        return cls(G=G, t2=build_t2(G), sa=z["sa"],
-                   sai_level_start=z["sai_level_start"], sai_val=z["sai_val"],
+        return cls(G=G, t2=build_t2(G), sa=z["sa"].astype(np.int64),
+                   sai_level_start=z["sai_level_start"],
+                   sai_val=z["sai_val"].astype(np.int64),
                    sai_absent=z["sai_absent"], sai_nbit=z["sai_nbit"],
                    chr_name=list(meta["chrName"]), chr_start=z["chr_start"],
                    chr_length=z["chr_length"],
