@@ -244,15 +244,30 @@ def search_pieces(gi: GenomeIndex, P, read1: np.ndarray, Lread: int) -> SeedResu
                         else:
                             shift = p_start + p_len - istart * l_start - 1 - l_mapped
                         seed_len = p_len - l_mapped - istart * l_start
-                        if i_dir == 0:
-                            Q = read1[shift:shift + seed_len]
-                        else:
-                            Q = 3 - read1[shift - seed_len + 1: shift + 1][::-1]
-                        maxL, nrep, lo, hi = mmp_search(gi, np.ascontiguousarray(Q))
-                        store_align(res, P, i_dir, shift, nrep, maxL, lo, hi, ifrag)
-                        if i_dir == 0 and istart == 0 and l_mapped == 0 and shift + maxL == p_len:
+                        # sparse suffix array: probe sa_sparse_d phase
+                        # offsets, keep the best maxL+iDist (reference:
+                        # ReadAlign_maxMappableLength2strands.cpp:18-113)
+                        probes = []
+                        max_l_best = 0
+                        for i_dist in range(min(seed_len, gi.sa_sparse_d)):
+                            ps = shift + i_dist if i_dir == 0 else shift - i_dist
+                            plen = seed_len - i_dist
+                            if i_dir == 0:
+                                Q = read1[ps:ps + plen]
+                            else:
+                                Q = 3 - read1[ps - plen + 1: ps + 1][::-1]
+                            maxL, nrep, lo, hi = mmp_search(
+                                gi, np.ascontiguousarray(Q))
+                            probes.append((i_dist, ps, maxL, nrep, lo, hi))
+                            max_l_best = max(max_l_best, maxL + i_dist)
+                        for (i_dist, ps, maxL, nrep, lo, hi) in probes:
+                            if maxL + i_dist == max_l_best:
+                                store_align(res, P, i_dir, ps, nrep, maxL,
+                                            lo, hi, ifrag)
+                        if (i_dir == 0 and istart == 0 and l_mapped == 0
+                                and shift + max_l_best == p_len):
                             flag_dir_map = False
-                        if maxL == 0:
+                        if max_l_best == 0:
                             break  # safety; cannot happen for real genomes
-                        l_mapped += maxL
+                        l_mapped += max_l_best
     return res

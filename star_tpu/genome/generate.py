@@ -110,7 +110,26 @@ def build_sai(t2: np.ndarray, sa: np.ndarray, n_levels: int):
     absent = np.empty(total, dtype=bool)
     nbit = np.zeros(total, dtype=bool)
 
-    rows = np.arange(nsa, dtype=np.int64)
+    # reference quirk: the SAi skip-scan (genomeSAindex.cpp
+    # funSAiFindNextIndex) misses the very last SA row when (a) it forms its
+    # own (indFull, iL4) run and (b) the scan overshoots it degenerately —
+    # first probe past the previous run lands exactly at nSA-2+isaStep >= nSA,
+    # so the end-of-array binary search enters with i1+1==i2 and never
+    # assigns isa=i2.  That row then never records its block or N flag.
+    n_use = nsa
+    if nsa >= 2:
+        isa_step = nsa // (1 << (2 * L)) + 1
+        if ((full[-1] != full[-2] or il4[-1] != il4[-2]) and isa_step >= 2):
+            neq = (full[1:nsa - 1] != full[:nsa - 2]) \
+                | (il4[1:nsa - 1] != il4[:nsa - 2])
+            bnd = np.nonzero(neq)[0]
+            run_start = int(bnd[-1]) + 1 if len(bnd) else 0
+            if (nsa - 2 - run_start) % isa_step == 0:
+                n_use = nsa - 1
+
+    rows = np.arange(n_use, dtype=np.int64)
+    full = full[:n_use]
+    il4 = il4[:n_use]
     for lvl in range(1, L + 1):
         off = int(level_start[lvl - 1])
         size = 1 << (2 * lvl)

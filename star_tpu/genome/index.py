@@ -93,6 +93,13 @@ class GenomeIndex:
         G, names, chr_start, chr_length = scan_fasta_files(fasta_files, 1 << chr_bin_nbits)
         t2 = build_t2(G)
         sa = sort_suffixes(t2)
+        if sa_sparse_d > 1:
+            # sparse suffix array: keep every sa_sparse_d-th position.  The
+            # reference strides over its REVERSED text coordinate ii and
+            # stores 2N-1-ii (Genome_genomeGenerate.cpp:184,266-272), so the
+            # kept forward positions satisfy (2N-1-p) % d == 0.  A subset of
+            # a sorted array keeps the reference row order.
+            sa = sa[(len(t2) - 1 - sa) % sa_sparse_d == 0]
         sai = build_sai(t2, sa, sa_index_nbases)
         return cls(G=G, t2=t2, sa=sa,
                    sai_level_start=sai["level_start"], sai_val=sai["val"],

@@ -175,6 +175,14 @@ def insert_junctions(gi, sjdb: SjdbLoci, P, out_dir: str = None):
     """prepare junctions + rebuild index on the junction-extended genome;
     returns a new GenomeIndex."""
     from .index import GenomeIndex
+    if gi.sa_sparse_d > 1:
+        raise SystemExit(
+            "EXITING because of fatal PARAMETERS error: on-the-fly junction "
+            "insertion into a sparse suffix array (--genomeSAsparseD > 1) is "
+            "not supported\n"
+            "SOLUTION: generate the genome index with --sjdbGTFfile / "
+            "--sjdbFileChrStartEnd at genomeGenerate time with "
+            "--genomeSAsparseD 1, or map without mapping-time sjdb options")
     n_real = int(gi.chr_start[-1])
     res = sjdb_prepare(sjdb, gi, n_real, out_dir)
     if out_dir:

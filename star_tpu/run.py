@@ -306,6 +306,10 @@ def _run_mapping(P: Parameters, gi: GenomeIndex, use_device=None) -> RunStats:
 
     if use_device is None:
         use_device = bool(P.tpuUseDevice)
+    if gi.sa_sparse_d > 1:
+        # the device seed loop implements the dense search; sparse indexes
+        # take the host path (phase-offset probes, align/seed.py)
+        use_device = False
 
     by_sjout = P.outFilterBySJoutStage == 1
     held = []

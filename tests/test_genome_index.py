@@ -42,3 +42,41 @@ def test_t2_semantics(genome_index):
 
     # every SA suffix starts with a real nucleotide and is sorted
     assert (gi.t2[gi.sa] < 4).all()
+
+
+def test_sparse_index_matches_reference():
+    """--genomeSAsparseD 2: SA rows + SAi tables bit-identical to the
+    reference sparse index (incl. the skip-scan last-row quirk)"""
+    from star_tpu.genome.index import GenomeIndex
+    ref = GenomeIndex.load(os.path.join(GOLD, "genome_idx_sp2"))
+    assert ref.sa_sparse_d == 2
+    gi = GenomeIndex.generate([os.path.join(DATA, "genome.fa")],
+                              sa_index_nbases=8, sa_sparse_d=2)
+    assert np.array_equal(gi.sa, ref.sa)
+    assert np.array_equal(gi.sai_val, ref.sai_val)
+    assert np.array_equal(gi.sai_absent, ref.sai_absent)
+    assert np.array_equal(gi.sai_nbit, ref.sai_nbit)
+
+
+@pytest.mark.parametrize("sub,reads", [
+    ("se_sp2", ["reads_se.fastq"]),
+    ("pe_sp2", ["reads_pe_1.fastq", "reads_pe_2.fastq"]),
+])
+def test_sparse_align_golden(tmp_path, sub, reads):
+    """alignment against a sparse suffix array: phase-offset MMP search
+    (reference ReadAlign_maxMappableLength2strands.cpp:18-113) must give
+    byte-identical SAM + SJ vs the reference run on the same sparse index"""
+    from star_tpu.params import Parameters
+    from star_tpu.run import align_reads
+    prefix = str(tmp_path) + "/"
+    P = Parameters(["--genomeDir", os.path.join(GOLD, "genome_idx_sp2"),
+                    "--readFilesIn"] + [os.path.join(DATA, r) for r in reads]
+                   + ["--outFileNamePrefix", prefix,
+                      "--outSAMunmapped", "Within"])
+    align_reads(P)
+    got = [l for l in open(prefix + "Aligned.out.sam") if not l.startswith("@")]
+    want = [l for l in open(os.path.join(GOLD, sub, "Aligned.out.sam"))
+            if not l.startswith("@")]
+    assert got == want
+    assert (open(prefix + "SJ.out.tab").read()
+            == open(os.path.join(GOLD, sub, "SJ.out.tab")).read())

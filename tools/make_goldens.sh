@@ -231,3 +231,19 @@ $STAR $soloCcommon --outFileNamePrefix "$GC/exact/" --soloCBmatchWLtype Exact > 
 $STAR $soloCcommon --outFileNamePrefix "$GC/ed2/"   --soloCBmatchWLtype EditDist_2 > /dev/null
 find "$GC" -name "_STARtmp" -type d -exec rm -rf {} + 2>/dev/null || true
 find "$GC" -name "Log*.out" -delete 2>/dev/null; find "$GC" -name "SJ.out.tab" -delete 2>/dev/null || true
+
+# 33. sparse suffix array (genomeSAsparseD 2): index + SE alignment
+rm -rf "$GOLD/genome_idx_sp2"; mkdir -p "$GOLD/genome_idx_sp2"
+$STAR --runMode genomeGenerate --genomeDir "$GOLD/genome_idx_sp2" \
+      --genomeFastaFiles "$DATA/genome.fa" --genomeSAindexNbases 8 \
+      --genomeSAsparseD 2 \
+      --runThreadN 2 --outFileNamePrefix "$GOLD/ggsp_" > /dev/null
+rm -f "$GOLD"/ggsp_Log* 2>/dev/null || true
+rm -rf "$GOLD/se_sp2"; mkdir -p "$GOLD/se_sp2"
+$STAR --genomeDir "$GOLD/genome_idx_sp2" --readFilesIn "$DATA/reads_se.fastq" \
+      --runThreadN 1 --outFileNamePrefix "$GOLD/se_sp2/" --outSAMunmapped Within > /dev/null
+rm -rf "$GOLD/pe_sp2"; mkdir -p "$GOLD/pe_sp2"
+$STAR --genomeDir "$GOLD/genome_idx_sp2" --readFilesIn "$DATA/reads_pe_1.fastq" "$DATA/reads_pe_2.fastq" \
+      --runThreadN 1 --outFileNamePrefix "$GOLD/pe_sp2/" --outSAMunmapped Within > /dev/null
+find "$GOLD/se_sp2" "$GOLD/pe_sp2" \( -name "Log.progress.out" -o -name "Log.out" \) -delete || true
+find "$GOLD" -name "_STARtmp" -type d -exec rm -rf {} + 2>/dev/null || true
