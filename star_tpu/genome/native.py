@@ -41,6 +41,12 @@ def _load():
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int]
         _lib = lib
     except OSError:
+        # corrupt/incompatible object: remove it so the next run rebuilds
+        # instead of silently falling back to the Python sorter forever
+        try:
+            os.unlink(so)
+        except OSError:
+            pass
         _lib = None
     return _lib
 
@@ -49,14 +55,21 @@ def _try_build(root: str, so: str, src: str) -> bool:
     if not os.path.exists(src):
         return os.path.exists(so)
     import subprocess
+    # compile to a process-unique temp path: concurrent builders racing on a
+    # shared ".tmp" could os.replace() a half-written object into place
+    tmp = f"{so}.tmp.{os.getpid()}"
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-fopenmp",
-             src, "-o", so + ".tmp"],
+             src, "-o", tmp],
             check=True, capture_output=True, timeout=300)
-        os.replace(so + ".tmp", so)
+        os.replace(tmp, so)
         return True
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return os.path.exists(so)
 
 

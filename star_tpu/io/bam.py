@@ -486,6 +486,11 @@ class BamCollector:
         self.coord_path = prefix + "Aligned.sortedByCoord.out.bam"
         if P.outBAMcoord:
             self.n_bins = max(int(getattr(P, "outBAMsortingBinsN", 50)), 2)
+            # per-bin RAM cap: honor --limitBAMsortRAM when set (reference
+            # bamSortByCoordinate.cpp sizes bins from limitBAMsortRAM)
+            lim = int(getattr(P, "limitBAMsortRAM", 0) or 0)
+            self.spill_bytes_per_bin = (max(lim // self.n_bins, 1 << 20)
+                                        if lim > 0 else self.SPILL_BYTES_PER_BIN)
             g_total = int(gi.chr_start[-1]) + 1
             self.bin_size = max(g_total // (self.n_bins - 1) + 1, 1)
             self.coord = [[] for _ in range(self.n_bins)]
@@ -510,7 +515,7 @@ class BamCollector:
         b = self._bin_of(c, p)
         self.coord[b].append((c, p, key, r))
         self._bin_bytes[b] += len(r) + 48
-        if self._bin_bytes[b] > self.SPILL_BYTES_PER_BIN:
+        if self._bin_bytes[b] > self.spill_bytes_per_bin:
             self._spill(b)
 
     def _spill(self, b: int):
@@ -595,13 +600,40 @@ class BamCollector:
         if self.coord is not None:
             w = BgzfWriter(self.coord_path)
             w.write(self._hdr)
-            for b in range(self.n_bins):
-                for (c, _, key, r) in self._load_bin(b):
-                    if solo_tags is not None and c < (1 << 30):
-                        r = _add_cb_ub(r, key >> 16, *solo_tags)
-                    w.write(r)
-                self.coord[b] = []
-            w.close()
+            try:
+                for b in range(self.n_bins):
+                    for (c, _, key, r) in self._load_bin(b):
+                        if solo_tags is not None and c < (1 << 30):
+                            r = _add_cb_ub(r, key >> 16, *solo_tags)
+                        w.write(r)
+                    self.coord[b] = []
+            finally:
+                w.close()
+                self._cleanup_spill()
+
+    def _cleanup_spill(self):
+        """close leaked spill handles and remove the _STARtmp dir if empty"""
+        import os
+        for b, f in enumerate(self._spill_files):
+            if f is not None and not f.closed:
+                f.close()
+                try:
+                    os.unlink(f"{self._tmp_dir}/bamsort.bin{b}")
+                except OSError:
+                    pass
+            self._spill_files[b] = None
+        try:
+            os.rmdir(self._tmp_dir)
+        except OSError:
+            pass  # missing, or other run state still inside
+
+    def __del__(self):
+        try:
+            if self.coord is not None and any(
+                    f is not None for f in self._spill_files):
+                self._cleanup_spill()
+        except Exception:
+            pass
 
 
 def _add_cb_ub(rec: bytes, iread: int, read_info, wl_str, umi_l) -> bytes:

@@ -266,4 +266,17 @@ def psum_merge(tables: np.ndarray, mesh: Mesh) -> np.ndarray:
     mapped = jax.shard_map(
         f, mesh=mesh,
         in_specs=P("dp"), out_specs=P(), check_vma=False)
+    if np.issubdtype(tables.dtype, np.integer):
+        # jax runs with x64 disabled, so int64 inputs would be silently
+        # truncated to int32 before the psum.  Decompose into 16-bit limbs
+        # (each limb-sum <= dp * 65535, exact in int32), psum each limb, and
+        # recombine in int64 on host — exact for any 64-bit counts.
+        assert (tables >= 0).all(), "psum_merge: negative counts"
+        t = tables.astype(np.uint64)
+        limbs = np.stack([((t >> (16 * i)) & 0xFFFF).astype(np.int32)
+                          for i in range(4)])
+        out = np.asarray(jax.jit(mapped)(np.moveaxis(limbs, 0, 1)))
+        # mapped consumed [dp, 4, ...] -> [4, ...]
+        total = sum(out[i].astype(np.int64) << (16 * i) for i in range(4))
+        return total.astype(tables.dtype)
     return np.asarray(jax.jit(mapped)(tables))
