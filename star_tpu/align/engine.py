@@ -124,8 +124,13 @@ class ReadAligner:
         seeds = search_pieces(self.gi, self.P, reads[0], res.lread)
         return self.finish_read(res, reads, seeds)
 
-    def finish_read(self, res: ReadResult, reads, seeds) -> ReadResult:
-        """windows + stitch + filters, given the seed table"""
+    def finish_read(self, res: ReadResult, reads, seeds,
+                    precomputed=None) -> ReadResult:
+        """windows + stitch + filters, given the seed table.
+
+        precomputed: optional (all_win_tr, maxScoreMate) from the batched
+        engine (ops/batch_engine.py) — replaces the per-read window build +
+        stitch recursion with the already-assembled window transcript lists."""
         P, gi = self.P, self.gi
         read1 = reads[0]
         lread = res.lread
@@ -152,40 +157,50 @@ class ReadAligner:
             self._finish_unmapped(res)
             return res
 
-        # ---- windows
-        ws = self.wb.build(seeds, lread)
-        if ws.map_marker:
-            res.map_marker = ws.map_marker
-            self._finish_unmapped(res)
-            return res
+        if precomputed is not None:
+            all_win_tr, msm = precomputed
+            self.maxScoreMate = list(msm)
+            tr_best = tr_init
+            for win_tr in all_win_tr:
+                if (win_tr[0].maxScore > tr_best.maxScore
+                        or (win_tr[0].maxScore == tr_best.maxScore
+                            and win_tr[0].gLength < tr_best.gLength)):
+                    tr_best = win_tr[0]
+        else:
+            # ---- windows
+            ws = self.wb.build(seeds, lread)
+            if ws.map_marker:
+                res.map_marker = ws.map_marker
+                self._finish_unmapped(res)
+                return res
 
-        # ---- stitch: transcripts per window
-        stitcher = WindowStitcher(gi, P, self)
-        reads_b = (bytes(reads[0]), bytes(reads[2]))
-        all_win_tr: List[List[Transcript]] = []
-        tr_best = tr_init
-        n_total = 0
-        for iw, wc in enumerate(ws.wc):
-            if not ws.wa[iw]:
-                continue
-            tr0 = Transcript()
-            tr0.Lread = lread
-            tr0.Chr = wc[1]
-            tr0.Str = wc[0]
-            tr0.roStr = tr0.Str
-            if n_total + P.alignTranscriptsPerWindowNmax >= P.alignTranscriptsPerReadNmax:
-                break
-            win_tr = stitcher.stitch_window(
-                ws.wa[iw], ws.w_last_anchor[iw], tr0, lread,
-                reads_b[0] if tr0.roStr == 0 else reads_b[1])
-            if not win_tr:
-                continue
-            if (win_tr[0].maxScore > tr_best.maxScore
-                    or (win_tr[0].maxScore == tr_best.maxScore
-                        and win_tr[0].gLength < tr_best.gLength)):
-                tr_best = win_tr[0]
-            n_total += len(win_tr)
-            all_win_tr.append(win_tr)
+            # ---- stitch: transcripts per window
+            stitcher = WindowStitcher(gi, P, self)
+            reads_b = (bytes(reads[0]), bytes(reads[2]))
+            all_win_tr = []
+            tr_best = tr_init
+            n_total = 0
+            for iw, wc in enumerate(ws.wc):
+                if not ws.wa[iw]:
+                    continue
+                tr0 = Transcript()
+                tr0.Lread = lread
+                tr0.Chr = wc[1]
+                tr0.Str = wc[0]
+                tr0.roStr = tr0.Str
+                if n_total + P.alignTranscriptsPerWindowNmax >= P.alignTranscriptsPerReadNmax:
+                    break
+                win_tr = stitcher.stitch_window(
+                    ws.wa[iw], ws.w_last_anchor[iw], tr0, lread,
+                    reads_b[0] if tr0.roStr == 0 else reads_b[1])
+                if not win_tr:
+                    continue
+                if (win_tr[0].maxScore > tr_best.maxScore
+                        or (win_tr[0].maxScore == tr_best.maxScore
+                            and win_tr[0].gLength < tr_best.gLength)):
+                    tr_best = win_tr[0]
+                n_total += len(win_tr)
+                all_win_tr.append(win_tr)
 
         if tr_best.maxScore == 0:
             res.map_marker = MARKER_NO_GOOD_WINDOW

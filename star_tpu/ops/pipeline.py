@@ -170,19 +170,42 @@ class DeviceAligner:
                 np.asarray(c_plen, np.int32), np.asarray(c_dir, np.int32),
                 np.asarray(c_istl, np.int32))
 
-        seeds_by_read = _replay_store_aligns(
+        seeds_by_read, seed_flat = _replay_store_aligns(
             P, R,
             np.asarray(c_read, np.int32), np.asarray(c_pstart, np.int32),
             np.asarray(c_plen, np.int32), np.asarray(c_dir, np.int32),
             np.asarray(c_istl, np.int32), np.asarray(c_ifrag, np.int32),
             np.asarray(c_piece, np.int32), probes)
 
+        # ---- batched windows + stitch + extend (ops/batch_engine.py);
+        # per-read host fallback for shapes outside the static envelope
+        from . import batch_engine as be
+        results = {}
+        fb = np.ones(R, bool)
+        if be.fast_path_config_ok(self.gi, P) and len(seed_flat.read):
+            lread = np.asarray([r.lread for r, _ in prepped], np.int64)
+            read_len2 = np.asarray([r.read_length[:2] for r, _ in prepped],
+                                   np.int64)
+            nmm_max = np.minimum(
+                P.outFilterMismatchNmax,
+                (P.outFilterMismatchNoverReadLmax
+                 * (read_len2[:, 0] + read_len2[:, 1])).astype(np.int64))
+            fwd = read_mat.astype(np.uint8)      # -1 pad -> 255 (PAD_BASE)
+            k = np.arange(lmax)
+            src = np.clip(lread[:, None] - 1 - k[None, :], 0, lmax - 1)
+            rcv = np.take_along_axis(read_mat, src, axis=1)
+            rc = np.where(k[None, :] < lread[:, None],
+                          np.where(rcv < 4, 3 - rcv, rcv), -1).astype(np.uint8)
+            fb, results = be.stitch_batch(self.gi, P, seed_flat, fwd, rc,
+                                          lread, read_len2, nmm_max)
+
         for i, (res, reads) in enumerate(prepped):
             pieces, lgood = per_read_pieces[i]
             seeds = seeds_by_read[i]
             seeds.max_good_piece = lgood
             seeds.n_split = len(pieces)
-            out = self.host.finish_read(res, reads, seeds)
+            pre = results.get(i) if not fb[i] else None
+            out = self.host.finish_read(res, reads, seeds, precomputed=pre)
             stats.add_read(out)
             yield out
 
@@ -254,6 +277,14 @@ class DeviceAligner:
         return oml, onr, olo, ohi, nprobes
 
 
+def _empty_seed_arrays():
+    from .batch_engine import SeedArrays
+    z64 = np.zeros(0, np.int64)
+    return SeedArrays(read=np.zeros(0, np.int32), r_start=z64, length=z64,
+                      idir=np.zeros(0, np.int8), nrep=z64, lo=z64, hi=z64,
+                      ifrag=np.zeros(0, np.int8))
+
+
 def _replay_store_aligns(P, n_reads, c_read, c_pstart, c_plen, c_dir,
                          c_istl, c_ifrag, c_piece, probes):
     """vectorized replay of the reference's storeAligns bookkeeping
@@ -264,16 +295,16 @@ def _replay_store_aligns(P, n_reads, c_read, c_pstart, c_plen, c_dir,
                         mult_nmin_l=0, max_good_piece=0, n_split=0)
              for _ in range(n_reads)]
     if probes is None:
-        return seeds
+        return seeds, _empty_seed_arrays()
     oml, onr, olo, ohi, nprobes = probes
     NC = len(c_read)
     if NC == 0:
-        return seeds
+        return seeds, _empty_seed_arrays()
 
     # flatten probes chain-major, chronological within chain
     np_max = int(nprobes.max()) if NC else 0
     if np_max == 0:
-        return seeds
+        return seeds, _empty_seed_arrays()
     k = np.arange(np_max)
     keep = k[None, :] < nprobes[:, None]              # [NC, np_max]
     ci, ki = np.nonzero(keep)
@@ -351,7 +382,16 @@ def _replay_store_aligns(P, n_reads, c_read, c_pstart, c_plen, c_dir,
         seeds[read[j]].pc.append(
             [int(r_start[j]), int(maxl[j]), int(idir[j]), int(nrep[j]),
              int(lo[j]), int(hi[j]), int(ifrag[j])])
-    return seeds
+    from .batch_engine import SeedArrays
+    flat = SeedArrays(
+        read=read[order].astype(np.int32),
+        r_start=r_start[order].astype(np.int64),
+        length=maxl[order].astype(np.int64),
+        idir=idir[order].astype(np.int8),
+        nrep=nrep[order].astype(np.int64),
+        lo=lo[order].astype(np.int64), hi=hi[order].astype(np.int64),
+        ifrag=ifrag[order].astype(np.int8))
+    return seeds, flat
 
 
 def _build_queries(read_mat, read_i, shifts, seed_lens, dirs, QL):
