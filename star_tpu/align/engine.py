@@ -48,6 +48,20 @@ class ReadResult:
     read1rc = None
 
 
+_COMP_LUT = None
+
+
+def _comp_lut():
+    global _COMP_LUT
+    if _COMP_LUT is None:
+        lut = np.full(256, 0, dtype=np.int8)
+        for i, c in enumerate(COMPLEMENT):
+            lut[i] = c
+        lut[MARK_FRAG_SPACER_BASE] = MARK_FRAG_SPACER_BASE
+        _COMP_LUT = lut
+    return _COMP_LUT
+
+
 class ReadAligner:
     """Aligns one read (or read pair) against a GenomeIndex."""
 
@@ -104,18 +118,14 @@ class ReadAligner:
             read1[:len(mates[0])] = mates[0]
             read1[len(mates[0])] = MARK_FRAG_SPACER_BASE
             m2 = mates[1]
-            comp2 = np.array(COMPLEMENT, dtype=np.int8)[m2]
+            comp2 = _comp_lut()[m2]
             read1[len(mates[0]) + 1:] = comp2[::-1]
         else:
             lread = len(mates[0])
             read1 = mates[0].astype(np.int8)
         res.lread = lread
 
-        comp_lut = np.full(256, 0, dtype=np.int8)
-        for i, c in enumerate(COMPLEMENT):
-            comp_lut[i] = c
-        comp_lut[MARK_FRAG_SPACER_BASE] = MARK_FRAG_SPACER_BASE
-        read1c = comp_lut[read1]
+        read1c = _comp_lut()[read1]
         read1rc = read1c[::-1].copy()
         return res, (read1, read1c, read1rc)
 

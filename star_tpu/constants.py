@@ -47,15 +47,26 @@ NUM_TO_NT = "ACGTN "  # index 5 (spacer) should never be emitted
 COMPLEMENT = (3, 2, 1, 0, 4, 5)
 
 
+_ENCODE_LUT = None
+
+
+def _encode_lut():
+    global _ENCODE_LUT
+    if _ENCODE_LUT is None:
+        import numpy as np
+        lut = np.full(256, N_BASE, dtype=np.int8)
+        for i, ch in enumerate("ACGT"):
+            lut[ord(ch)] = i
+            lut[ord(ch.lower())] = i
+        _ENCODE_LUT = lut
+    return _ENCODE_LUT
+
+
 def encode_seq(s: str):
     """ASCII sequence -> numeric codes (anything non-ACGT -> N)."""
     import numpy as np
-    lut = np.full(256, N_BASE, dtype=np.int8)
-    for i, ch in enumerate("ACGT"):
-        lut[ord(ch)] = i
-        lut[ord(ch.lower())] = i
     a = np.frombuffer(s.encode(), dtype=np.uint8)
-    return lut[a]
+    return _encode_lut()[a]
 
 
 def decode_seq(codes) -> str:

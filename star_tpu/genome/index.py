@@ -176,7 +176,9 @@ class GenomeIndex:
         sjn, sjg, sjo = [int(x) for x in z["sjdb_tables"]]
         return cls(G=G, t2=build_t2(G), sa=z["sa"].astype(np.int64),
                    sai_level_start=z["sai_level_start"],
-                   sai_val=z["sai_val"].astype(np.int64),
+                   # keep the narrow on-disk dtype: widening the ~4^14-entry
+                   # SAi costs seconds and gigabytes for nothing
+                   sai_val=z["sai_val"],
                    sai_absent=z["sai_absent"], sai_nbit=z["sai_nbit"],
                    chr_name=list(meta["chrName"]), chr_start=z["chr_start"],
                    chr_length=z["chr_length"],

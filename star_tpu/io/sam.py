@@ -14,10 +14,13 @@ from ..align.engine import ReadResult
 from ..align.transcript import Transcript
 
 _RC = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N"}
+_RC_TABLE = {i: "N" for i in range(256)}
+for _k, _v in _RC.items():
+    _RC_TABLE[ord(_k)] = _v
 
 
 def revcomp_str(s: str) -> str:
-    return "".join(_RC.get(c, "N") for c in reversed(s))
+    return s.translate(_RC_TABLE)[::-1]
 
 
 def sam_header(gi, P, cmd_line: str = "", sorted_coord: bool = False) -> str:
@@ -127,8 +130,35 @@ def unmapped_sam(res: ReadResult, gi, P, mate_mapped) -> str:
     return "\n".join(lines)
 
 
+_STD_ATTRS = ("NH", "HI", "AS", "nM")
+
+
+def _transcript_sam_se_fast(tr, res, n_tr_out, i_tr, gi, P) -> str:
+    """single-format emitter for the dominant record shape (SE read, standard
+    attributes, no flag masking) — same bytes as the general path below"""
+    sam_flag = (0x10 if tr.Str else 0) | (0 if tr.primaryFlag else 0x100)
+    cigar, _, _ = _cigar(tr, 0, tr.nExons - 1, 0, res, gi, P)
+    if tr.Str == 0:
+        seq_out = res.seqs[0]
+        qual_out = res.quals[0]
+    else:
+        seq_out = revcomp_str(res.seqs[0])
+        qual_out = res.quals[0][::-1]
+    if res.read_file_type != 2 or P.outSAMmode == "NoQS":
+        qual_out = "*"
+    return (f"{res.name}\t{sam_flag}\t{gi.chr_name[tr.Chr]}"
+            f"\t{int(tr.exons[0][1] + 1 - gi.chr_start[tr.Chr])}"
+            f"\t{_mapq(n_tr_out, P)}\t{cigar}\t*\t0\t0\t{seq_out}\t{qual_out}"
+            f"\tNH:i:{n_tr_out}\tHI:i:{i_tr + P.outSAMattrIHstart}"
+            f"\tAS:i:{tr.maxScore}\tnM:i:{tr.nMM}")
+
+
 def transcript_sam(tr: Transcript, res: ReadResult, n_tr_out: int, i_tr: int,
                    gi, P, mate_chr=None, mate_start=None, mate_strand=0) -> str:
+    if (mate_chr is None and len(res.seqs) == 1
+            and tuple(P.samAttrOrder) == _STD_ATTRS
+            and P.outSAMflagAND == 65535 and P.outSAMflagOR == 0):
+        return _transcript_sam_se_fast(tr, res, n_tr_out, i_tr, gi, P)
     n_mates_read = len(res.seqs)
     flag_paired = n_mates_read == 2
     lread = res.lread

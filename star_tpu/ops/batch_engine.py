@@ -1472,78 +1472,118 @@ def finalize_lanes(gi, P, G, RS, lanes: LaneState, ws, nmm_max_read,
 
 def assemble(gi, P, lanes: LaneState, accept, ws: WindowsState, st: WAState,
              lread):
-    """returns {read_i: (all_win_tr, maxScoreMate)} for non-fallback reads"""
-    from ..align.transcript import Transcript, blocks_overlap
+    """returns {read_i: (all_win_tr, maxScoreMate)} for non-fallback reads.
 
+    Replays the engine's window loop and stitchWindowAligns' transcript
+    recording (maxScoreMate gate, overlap dedup, sorted top-list) over the
+    accepted lanes, which arrive already in (read, window, DFS) order.  All
+    per-lane fields are bulk-extracted to python lists first: the loop itself
+    is tiny (one accepted lane per read for most reads)."""
+    from ..align.transcript import blocks_overlap
+
+    ok = accept & lanes.alive
+    oi = np.nonzero(ok)[0]
     results = {}
-    # lane ordering is (read, window, dfs) by construction
-    NL = len(lanes.b)
-    lane_lo = np.searchsorted(lanes.b, np.arange(ws.n_reads), "left")
-    lane_hi = np.searchsorted(lanes.b, np.arange(ws.n_reads), "right")
-    acc_score = lanes.score
-    can_all = lanes.sj_can
-    rng = P.outFilterMultimapScoreRange
+    if len(oi) == 0:
+        for b in np.nonzero(~st.fallback)[0]:
+            results[int(b)] = ([], [0, 0])
+        return results
 
-    for b in np.nonzero(~st.fallback)[0]:
-        b = int(b)
+    # bulk per-lane field extraction (python lists; no np scalar indexing)
+    l_b = lanes.b[oi].tolist()
+    l_w = lanes.w[oi].tolist()
+    l_ne = lanes.n_ex[oi].tolist()
+    l_score = lanes.score[oi].tolist()
+    fr0 = lanes.ex_frag[oi, 0].astype(np.int64)
+    frl = lanes.ex_frag[oi, lanes.n_ex[oi] - 1].astype(np.int64)
+    l_ifrag = np.where(fr0 == frl, fr0, -1).tolist()
+    win_n_l = ws.win_n.tolist()
+    wa_n_l = st.wa_n.tolist()
+    fb_l = st.fallback.tolist()
+    rng = P.outFilterMultimapScoreRange
+    chim = P.chimSegmentMin > 0
+    cap_possible = W_MAX * P.alignTranscriptsPerWindowNmax \
+        >= P.alignTranscriptsPerReadNmax
+
+    NA = len(oi)
+    i = 0
+    B = ws.n_reads
+    for b in range(B):
+        if fb_l[b]:
+            while i < NA and l_b[i] == b:
+                i += 1
+            continue
         msm = [0, 0]
         all_win_tr = []
+        if i >= NA or l_b[i] != b:
+            results[b] = (all_win_tr, msm)
+            continue
         n_total = 0
-        l0, l1 = int(lane_lo[b]), int(lane_hi[b])
-        Lrd = int(lread[b])
-        for w in range(int(ws.win_n[b])):
-            if st.wa_n[b, w] == 0:
-                continue
-            if n_total + P.alignTranscriptsPerWindowNmax \
-                    >= P.alignTranscriptsPerReadNmax:
+        wan = wa_n_l[b]
+        w_cursor = 0
+        stop = False
+        while i < NA and l_b[i] == b:
+            w = l_w[i]
+            # engine window loop: per-read transcript budget check runs for
+            # every nonempty window before its lanes (incl. skipped ones)
+            if cap_possible and not stop:
+                while w_cursor <= w:
+                    if wan[w_cursor] > 0 and n_total \
+                            + P.alignTranscriptsPerWindowNmax \
+                            >= P.alignTranscriptsPerReadNmax:
+                        stop = True
+                        break
+                    w_cursor += 1
+            if stop:
+                while i < NA and l_b[i] == b:
+                    i += 1
                 break
             win_tr = []
-            for li in range(l0, l1):
-                if lanes.w[li] != w:
-                    continue
-                if not (accept[li] and lanes.alive[li]):
-                    continue
-                ne = int(lanes.n_ex[li])
-                score = int(acc_score[li])
-                fr0 = int(lanes.ex_frag[li, 0])
-                frl = int(lanes.ex_frag[li, ne - 1])
-                ifrag = fr0 if fr0 == frl else -1
-                if ifrag >= 0:
-                    msm[ifrag] = max(msm[ifrag], score)
+            while i < NA and l_b[i] == b and l_w[i] == w:
+                score = l_score[i]
+                ifrag = l_ifrag[i]
+                if ifrag >= 0 and score > msm[ifrag]:
+                    msm[ifrag] = score
                 # record gate (stitchWindowAligns.cpp top-list admission)
-                if not (score + rng >= (win_tr[0].maxScore if win_tr else 0)
+                if (score + rng >= (win_tr[0].maxScore if win_tr else 0)
                         or (ifrag >= 0 and score + rng >= msm[ifrag])
-                        or P.chimSegmentMin > 0):
-                    continue
-                tr = _lane_to_transcript(gi, P, lanes, li, ne, score, ifrag,
-                                         ws, b, w, Lrd)
-                iTr = 0
-                while iTr < len(win_tr):
-                    n_ov = blocks_overlap(tr, win_tr[iTr])
-                    u_new = tr.mappedLength - n_ov
-                    u_old = win_tr[iTr].mappedLength - n_ov
-                    if u_new == 0 and score < win_tr[iTr].maxScore:
-                        break
-                    elif u_old == 0:
-                        del win_tr[iTr]
-                    elif u_old > 0 and (u_new > 0
-                                        or score >= win_tr[iTr].maxScore):
-                        iTr += 1
-                if iTr == len(win_tr):
-                    ins = 0
-                    while ins < len(win_tr):
-                        if (score > win_tr[ins].maxScore
-                                or (score == win_tr[ins].maxScore
-                                    and tr.gLength < win_tr[ins].gLength)):
+                        or chim):
+                    li = int(oi[i])
+                    tr = _lane_to_transcript(gi, P, lanes, li, l_ne[i],
+                                             score, ifrag, ws, b, w,
+                                             int(lread[b]))
+                    iTr = 0
+                    while iTr < len(win_tr):
+                        n_ov = blocks_overlap(tr, win_tr[iTr])
+                        u_new = tr.mappedLength - n_ov
+                        u_old = win_tr[iTr].mappedLength - n_ov
+                        if u_new == 0 and score < win_tr[iTr].maxScore:
                             break
-                        ins += 1
-                    win_tr.insert(ins, tr)
-                    if len(win_tr) > P.alignTranscriptsPerWindowNmax:
-                        win_tr.pop()
+                        elif u_old == 0:
+                            del win_tr[iTr]
+                        elif u_old > 0 and (u_new > 0
+                                            or score >= win_tr[iTr].maxScore):
+                            iTr += 1
+                    if iTr == len(win_tr):
+                        ins = 0
+                        while ins < len(win_tr):
+                            if (score > win_tr[ins].maxScore
+                                    or (score == win_tr[ins].maxScore
+                                        and tr.gLength < win_tr[ins].gLength)):
+                                break
+                            ins += 1
+                        win_tr.insert(ins, tr)
+                        if len(win_tr) > P.alignTranscriptsPerWindowNmax:
+                            win_tr.pop()
+                i += 1
             if win_tr:
                 n_total += len(win_tr)
                 all_win_tr.append(win_tr)
         results[b] = (all_win_tr, msm)
+    # reads with zero lanes at all
+    for b in np.nonzero(~st.fallback)[0]:
+        if int(b) not in results:
+            results[int(b)] = ([], [0, 0])
     return results
 
 

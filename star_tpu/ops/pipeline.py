@@ -54,18 +54,19 @@ def make_seed_round(di: DeviceIndex):
             x = jnp.where((s[:, None] & k) != 0, shifted, x)
         return x
 
-    def seed_round(t2f, saf, saif, chainview, offs, seed_len, valid):
+    def seed_round(t2f, saf, saif, chainview, offs, seed_len, valid, budget):
         B = chainview.shape[0]
         q = shift_rows(chainview, offs)
         pos = jax.lax.broadcasted_iota(jnp.int32, (B, QL), 1)
         q = jnp.where(pos < seed_len[:, None], q, -1)
-        return mmp(t2f, saf, saif, q, jnp.maximum(seed_len, 0), valid=valid)
+        return mmp(t2f, saf, saif, q, jnp.maximum(seed_len, 0), valid=valid,
+                   budget=budget)
 
     jitted = jax.jit(seed_round)
 
-    def call(chainview, offs, seed_len, valid):
+    def call(chainview, offs, seed_len, valid, budget):
         return jitted(di.t2f, di.saf, di.saif, chainview, offs, seed_len,
-                      valid)
+                      valid, jnp.int32(budget))
 
     return call
 
@@ -77,7 +78,7 @@ class DeviceAligner:
         self.batch_size = batch_size or P.tpuBatchSize
         self.host = ReadAligner(gi, P)
         self.di = None
-        self.seed_loop = None
+        self.seed_round_budgeted = False
         self._ql = None
 
     # (genome id, ql) -> (DeviceIndex, seed_round); retracing and relowering
@@ -90,7 +91,7 @@ class DeviceAligner:
         ql = ((max_read_len + 2 + 127) // 128) * 128
         if self.di is None or ql > self._ql:
             sharded = bool(getattr(self.P, "tpuShardedIndex", 0))
-            key = (id(self.gi), ql, sharded)
+            key = (id(self.gi), ql, sharded, self.P.seedMapMin)
             if key not in self._kernel_cache:
                 if sharded:
                     # index row-sharded over the mesh "ix" axis; probe batch
@@ -99,11 +100,13 @@ class DeviceAligner:
                                                  make_sharded_seed_round)
                     mesh = make_mesh()
                     si = ShardedIndex.build(self.gi, mesh, ql=ql)
-                    self._kernel_cache[key] = (si, make_sharded_seed_round(si))
+                    self._kernel_cache[key] = (si, make_sharded_seed_round(si),
+                                               False)
                 else:
                     di = DeviceIndex.build(self.gi, ql=ql)
-                    self._kernel_cache[key] = (di, make_seed_round(di))
-            self.di, self.seed_round = self._kernel_cache[key]
+                    self._kernel_cache[key] = (di, make_seed_round(di), True)
+            self.di, self.seed_round, self.seed_round_budgeted = \
+                self._kernel_cache[key]
             self._ql = ql
 
     # -------------------------------------------------------------- batching
@@ -213,8 +216,16 @@ class DeviceAligner:
     # persistent cache stays hot
     LANE_BUCKETS = (2048, 16384)
 
-    def _dispatch(self, cv, offs, slen, n):
-        """pad one compacted round to a lane bucket and run it"""
+    # lockstep loops pay for the slowest lane: cap iterations at a budget
+    # that covers the typical SAi-narrowed bisection, then re-dispatch just
+    # the unconverged lanes (absent prefixes bisecting huge intervals) with
+    # a budget covering log2(nSA) fully
+    PRIMARY_BUDGET = 12
+    RESPIN_BUDGET = 72
+
+    def _dispatch(self, cv, offs, slen, n, budget=RESPIN_BUDGET):
+        """pad one compacted round to a lane bucket and run it; internally
+        re-dispatches budget-unconverged lanes so results are always final"""
         lanes = next((b for b in self.LANE_BUCKETS if n <= b),
                      ((n + self.LANE_BUCKETS[-1] - 1)
                       // self.LANE_BUCKETS[-1]) * self.LANE_BUCKETS[-1])
@@ -227,13 +238,25 @@ class DeviceAligner:
         sp[:n] = slen
         val = np.zeros(lanes, dtype=bool)
         val[:n] = True
+        if self.seed_round_budgeted:
+            out = self.seed_round(cvp, op, sp, val, budget)
+            res = [np.asarray(x)[:n] for x in out]
+            unc = res[4]
+            if unc.any() and budget < self.RESPIN_BUDGET:
+                ui = np.nonzero(unc)[0]
+                r2 = self._dispatch(cv[ui], offs[ui], slen[ui], len(ui),
+                                    budget=self.RESPIN_BUDGET)
+                for a, b in zip(res[:4], r2[:4]):
+                    a[ui] = b
+            return res[:4]
         out = self.seed_round(cvp, op, sp, val)
         return [np.asarray(x)[:n] for x in out]
 
     def _run_chains(self, read_mat, c_read, c_pstart, c_plen, c_dir, c_istl):
         """the reference's per-read seed loop (ReadAlign_mapOneRead.cpp:65-78)
         as batched device rounds with host-side chain compaction: each round
-        dispatches only the chains still alive (actives collapse ~3x/round)"""
+        dispatches only the chains still alive (actives collapse ~3x/round),
+        with a per-dispatch iteration budget + respin (see _dispatch)."""
         NC = len(c_read)
         QL = self._ql
         P = self.P
@@ -264,7 +287,7 @@ class DeviceAligner:
                 w1 = min(w0 + W, len(idx))
                 sl = idx[w0:w1]
                 r = self._dispatch(chainview[sl], offs[w0:w1], slen[w0:w1],
-                                   w1 - w0)
+                                   w1 - w0, budget=self.PRIMARY_BUDGET)
                 maxl[w0:w1], nrep[w0:w1], lo[w0:w1], hi[w0:w1] = r
             oml[idx, k] = maxl
             onr[idx, k] = nrep
@@ -321,11 +344,15 @@ def _replay_store_aligns(P, n_reads, c_read, c_pstart, c_plen, c_dir,
                      c_pstart[ci] + c_plen[ci] - 1 - adv)
 
     # reference skip rule: if the piece's (dir0, istart0) chain mapped the
-    # whole piece in its first probe, the (dir1, istart0) chain is skipped
+    # whole piece in its first probe, the (dir1, istart0) chain is skipped.
+    # The reference compares Shift+L (absolute read position, including the
+    # piece start) against the piece LENGTH (ReadAlign_mapOneRead.cpp:74) —
+    # so for N-split pieces with p_start>0 the skip almost never fires;
+    # replicate that quirk exactly.
     is_d0i0 = (c_dir == 0) & (c_istl == 0)
     first_full = np.zeros(NC, dtype=bool)
     first_full[is_d0i0] = (nprobes[is_d0i0] > 0) & \
-        (oml[is_d0i0, 0] == c_plen[is_d0i0])
+        (c_pstart[is_d0i0] + oml[is_d0i0, 0] == c_plen[is_d0i0])
     piece_key = c_read.astype(np.int64) * (c_piece.max() + 1) + c_piece
     full_by_piece = {}
     for c in np.nonzero(is_d0i0 & first_full)[0]:

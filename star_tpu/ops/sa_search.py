@@ -122,31 +122,38 @@ def make_mmp_fn(di: DeviceIndex):
         trows = fetch_rows(t2f, jnp.where(run, pos, -1), use_pallas=up)
         return realign(trows, pos % TILE, QL)
 
-    def lower_bound(t2f, saf, qpad, qlen, lo0, hi0):
-        """first row in [lo0, hi0) whose suffix >= query, converging loop"""
-        def cond(lohi):
-            lo, hi = lohi
-            return jnp.any(lo < hi)
+    def lower_bound(t2f, saf, qpad, qlen, lo0, hi0, budget):
+        """first row in [lo0, hi0) whose suffix >= query.  The loop converges
+        per lane; `budget` caps the lockstep iterations so one wide-interval
+        lane cannot stall the whole batch — lanes still open at the cap are
+        reported unconverged and the host re-dispatches just those."""
+        def cond(st):
+            lo, hi, it = st
+            return jnp.any(lo < hi) & (it < budget)
 
-        def body(lohi):
-            lo, hi = lohi
+        def body(st):
+            lo, hi, it = st
             run = lo < hi
             mid = (lo + hi) // 2
             g = suffix_window(t2f, saf, mid, run)
             _, lt = lcp_lt(g, qpad, qlen)
             lo = jnp.where(run & lt, mid + 1, lo)
             hi = jnp.where(run & ~lt, mid, hi)
-            return lo, hi
+            return lo, hi, it + 1
 
-        lo, _ = jax.lax.while_loop(cond, body, (lo0, hi0))
-        return lo
+        lo, hi, _ = jax.lax.while_loop(cond, body,
+                                       (lo0, hi0, jnp.int32(0)))
+        return lo, lo < hi
 
-    def mmp(t2f, saf, saif, queries, qlen, valid=None):
+    def mmp(t2f, saf, saif, queries, qlen, valid=None, budget=None):
         B = queries.shape[0]
         q = jnp.maximum(queries, -1)
         qlen = qlen.astype(jnp.int32)
         if valid is None:
             valid = jnp.ones(B, dtype=bool)
+        bounded = budget is not None
+        if budget is None:
+            budget = jnp.int32(1 << 30)
 
         # ---- SAi prefix values at each level (base-4 over raw byte codes,
         # bug-compatible with the reference's unchecked index arithmetic)
@@ -167,10 +174,10 @@ def make_mmp_fn(di: DeviceIndex):
         # typically resolves in one fetch because full-depth prefixes of real
         # reads are present
         def d_cond(st):
-            return jnp.any(~st[2])
+            return jnp.any(~st[2]) & (st[6] < budget)
 
         def d_body(st):
-            lind, ind, done, v1, v2, off = st
+            lind, ind, done, v1, v2, off, it = st
             off_n = _onehot_pick(lvl_start, lind - 1) + ind
             rows = fetch_rows(saif, jnp.where(done, -1, off_n * 4), use_pallas=up)
             rb = (off_n * 4) % TILE
@@ -184,12 +191,12 @@ def make_mmp_fn(di: DeviceIndex):
             done = done | ~absent | (lind <= 1)
             lind = jnp.where(step, lind - 1, lind)
             ind = jnp.where(step, ind >> 2, ind)
-            return lind, ind, done, v1, v2, off
+            return lind, ind, done, v1, v2, off, it + 1
 
         z = jnp.zeros(B, dtype=jnp.int32)
-        lind, _, _, v1, v2, off = jax.lax.while_loop(
+        lind, _, d_done, v1, v2, off, _ = jax.lax.while_loop(
             d_cond, d_body,
-            (jnp.maximum(lmax, 1), ind0, ~valid, z, z, z))
+            (jnp.maximum(lmax, 1), ind0, ~valid, z, z, z, jnp.int32(0)))
 
         isa1 = v1 & _VAL_MASK
         no_n = (v1 & _NBIT) == 0
@@ -224,7 +231,7 @@ def make_mmp_fn(di: DeviceIndex):
         i1, i2 = isa1, i2s
         lo0 = jnp.where(case3, i1, 0)
         hi0 = jnp.where(case3, i2 + 1, 0)
-        ins = lower_bound(t2f, saf, q, qlen, lo0, hi0)
+        ins, unc_i = lower_bound(t2f, saf, q, qlen, lo0, hi0, budget)
 
         # ---- neighbor lcps (case 3) + the case-2 single compare, one batch
         rows_a = jnp.where(case2, isa1, jnp.minimum(ins, i2))
@@ -249,8 +256,9 @@ def make_mmp_fn(di: DeviceIndex):
         qr = jnp.concatenate([q_lo, q_hi], axis=0)
         b0 = jnp.concatenate([jnp.where(nz, i1, 0)] * 2)
         b1 = jnp.concatenate([jnp.where(nz, i2 + 1, 0)] * 2)
-        bounds = lower_bound(t2f, saf, qr, jnp.concatenate([best, best]),
-                             b0, b1)
+        bounds, unc_e = lower_bound(t2f, saf, qr,
+                                    jnp.concatenate([best, best]),
+                                    b0, b1, budget)
         # a 0-length match reports the reference's loose [iSA1, iSA2] bounds
         lo1 = jnp.where(nz, bounds[:B], isa1)
         hi1 = jnp.where(nz, bounds[B:] - 1, isa2)
@@ -263,7 +271,10 @@ def make_mmp_fn(di: DeviceIndex):
                            jnp.where(case2, isa1,
                                      jnp.where(case4, i2s, hi1)))
         nrep = hi_out - lo_out + 1
-        return max_l, nrep, lo_out, hi_out
+        if not bounded:
+            return max_l, nrep, lo_out, hi_out
+        unconv = valid & (~d_done | unc_i | unc_e[:B] | unc_e[B:])
+        return max_l, nrep, lo_out, hi_out, unconv
 
     return mmp
 
@@ -281,3 +292,4 @@ def make_mmp_kernel(di: DeviceIndex):
         return jitted(di.t2f, di.saf, di.saif, queries, qlen)
 
     return call
+

@@ -43,9 +43,21 @@ def make_mesh(devices=None, dp: int = None, ix: int = None) -> Mesh:
 
 @dataclass
 class ShardedIndex:
-    """genome index laid out over a mesh"""
+    """genome index laid out over a mesh.
+
+    Mammal scale (2*nGenome or nSA >= 2^31): all position/row arrays are
+    int64 end-to-end (device_put under an enable_x64 scope; TPUs execute
+    s64 as 2x s32) and only the forward genome G is stored — reverse-strand
+    suffix bytes are derived per gather as complement(G[2N-1-p]), halving
+    the replicated text to ~3.2 GB for human.  The suffix array itself is
+    what gets row-sharded over "ix": every shard's rows point anywhere in
+    the genome, so the text must be device-local (replicated) for the
+    bisection to stay communication-free; the SA is the 26 GB structure
+    and sharding it is what makes human-scale fit (SURVEY.md section 2.3)."""
     mesh: Mesh
-    t2: jax.Array        # replicated (sharding over "ix" lands with big genomes)
+    t2: jax.Array        # small genomes: doubled text; big: forward G only
+    g_only: bool         # t2 stores only G; reverse strand derived on gather
+    n_genome: int
     sa: jax.Array        # [ix*S] row-sharded over "ix"
     sai_val: jax.Array   # replicated
     sai_absent: jax.Array
@@ -55,26 +67,37 @@ class ShardedIndex:
     n_levels: int
     ql: int
     shard_rows: int      # S = rows per shard
+    big: bool            # int64 positions/rows
 
     @classmethod
     def build(cls, gi, mesh: Mesh, ql: int = 256):
         ix = mesh.shape["ix"]
         S = -(-gi.n_sa // ix)
+        big = 2 * gi.n_genome >= 2**31 or gi.n_sa >= 2**31
         sa_pad = np.full(ix * S, gi.n_sa - 1, dtype=np.int64)
         sa_pad[:gi.n_sa] = gi.sa
-        sa_pad = sa_pad.astype(np.int32 if 2 * gi.n_genome < 2**31 else np.int64)
-        t2p = np.concatenate([gi.t2, np.full(ql, 5, dtype=np.int8)])
+        sa_pad = sa_pad.astype(np.int64 if big else np.int32)
+        if big:
+            t2p = np.concatenate([gi.G, np.full(ql, 5, dtype=np.int8)])
+        else:
+            t2p = np.concatenate([gi.t2, np.full(ql, 5, dtype=np.int8)])
         repl = NamedSharding(mesh, P())
         row = NamedSharding(mesh, P("ix"))
-        return cls(
-            mesh=mesh,
-            t2=jax.device_put(t2p, repl),
-            sa=jax.device_put(sa_pad, row),
-            sai_val=jax.device_put(gi.sai_val.astype(sa_pad.dtype), repl),
-            sai_absent=jax.device_put(gi.sai_absent, repl),
-            sai_nbit=jax.device_put(gi.sai_nbit, repl),
-            level_start=tuple(int(x) for x in gi.sai_level_start),
-            n_sa=gi.n_sa, n_levels=gi.sa_index_nbases, ql=ql, shard_rows=S)
+        import contextlib
+        ctx = jax.enable_x64(True) if big else contextlib.nullcontext()
+        with ctx:
+            return cls(
+                mesh=mesh,
+                t2=jax.device_put(t2p, repl),
+                g_only=big,
+                n_genome=gi.n_genome,
+                sa=jax.device_put(sa_pad, row),
+                sai_val=jax.device_put(gi.sai_val.astype(sa_pad.dtype), repl),
+                sai_absent=jax.device_put(gi.sai_absent, repl),
+                sai_nbit=jax.device_put(gi.sai_nbit, repl),
+                level_start=tuple(int(x) for x in gi.sai_level_start),
+                n_sa=gi.n_sa, n_levels=gi.sa_index_nbases, ql=ql,
+                shard_rows=S, big=big)
 
 
 def _first_neq(qpad, g, qlen):
@@ -94,11 +117,22 @@ def make_sharded_mmp(si: ShardedIndex):
     S = si.shard_rows
     n_sa = si.n_sa
     n_iters = max(1, math.ceil(math.log2(S + 1))) + 1
+    IDT = jnp.int64 if si.big else jnp.int32   # position/row dtype
+    BIGV = (1 << 62) if si.big else (2**31 - 1)
+    N = si.n_genome
+    _COMP6 = jnp.array([3, 2, 1, 0, 4, 5, 5, 5], dtype=jnp.int8)
 
     def gather_local(t2, sa_loc, rows):
-        pos = jnp.take(sa_loc, rows, mode="clip").astype(jnp.int32)
-        idx = pos[:, None] + jnp.arange(si.ql, dtype=jnp.int32)[None, :]
-        return jnp.take(t2, idx, mode="clip")
+        pos = jnp.take(sa_loc, rows, mode="clip").astype(IDT)
+        idx = pos[:, None] + jnp.arange(si.ql, dtype=IDT)[None, :]
+        if not si.g_only:
+            return jnp.take(t2, idx, mode="clip")
+        # forward-only text: reverse-strand bytes are complement(G[2N-1-j])
+        fwd = idx < N
+        j = jnp.where(fwd, idx, jnp.clip(2 * N - 1 - idx, 0, N - 1))
+        g = jnp.take(t2, jnp.clip(j, 0, t2.shape[0] - 1), mode="clip")
+        g = jnp.where(fwd, g, _COMP6[jnp.clip(g, 0, 7)])
+        return jnp.where(idx < 2 * N, g, jnp.int8(5))
 
     def suffix_lt(t2, sa_loc, rows, qpad):
         g = gather_local(t2, sa_loc, rows)
@@ -127,7 +161,7 @@ def make_sharded_mmp(si: ShardedIndex):
 
     def shard_fn(queries, qlen, sa_loc, t2, sai_val, sai_absent, sai_nbit):
         # runs per device: queries [b, QL] local dp slice; sa_loc [S]
-        shard = jax.lax.axis_index("ix").astype(jnp.int32)
+        shard = jax.lax.axis_index("ix").astype(IDT)
         base = shard * S
         q = jnp.maximum(queries, -1)
         B = q.shape[0]
@@ -153,15 +187,15 @@ def make_sharded_mmp(si: ShardedIndex):
         lvl_start = jnp.array(si.level_start[:-1], dtype=jnp.int32)[lind - 1]
         lvl_end = jnp.array(si.level_start[1:], dtype=jnp.int32)[lind - 1]
         off = lvl_start + ind1
-        isa1 = jnp.take(sai_val, off, mode="clip").astype(jnp.int32)
+        isa1 = jnp.take(sai_val, off, mode="clip").astype(IDT)
         no_n = ~jnp.take(sai_nbit, off, mode="clip")
         has_next = off + 1 < lvl_end
         nxt_absent = jnp.take(sai_absent, jnp.minimum(off + 1, lvl_end - 1), mode="clip")
         good = has_next & ~nxt_absent
         isa2 = jnp.where(good,
                          jnp.take(sai_val, jnp.minimum(off + 1, lvl_end - 1),
-                                  mode="clip").astype(jnp.int32) - 1,
-                         n_sa - 1)
+                                  mode="clip").astype(IDT) - 1,
+                         IDT(n_sa - 1) if si.big else jnp.int32(n_sa - 1))
         case1 = (lind < L) & no_n & good
         case2 = (isa1 == isa2) & no_n & good
 
@@ -190,8 +224,8 @@ def make_sharded_mmp(si: ShardedIndex):
         hi1 = bounds[B:] - 1 + base
         # shards whose slice contains no block rows contribute +inf/-inf
         blk_nonempty = bounds[:B] < bounds[B:]
-        lo1 = jnp.where(nonempty & blk_nonempty, lo1, jnp.int32(2**31 - 1))
-        hi1 = jnp.where(nonempty & blk_nonempty, hi1, jnp.int32(-2**31))
+        lo1 = jnp.where(nonempty & blk_nonempty, lo1, IDT(BIGV))
+        hi1 = jnp.where(nonempty & blk_nonempty, hi1, IDT(-BIGV))
         lo1 = -jax.lax.pmax(-lo1, "ix")
         hi1 = jax.lax.pmax(hi1, "ix")
         empty = best == 0
@@ -210,12 +244,16 @@ def make_sharded_mmp(si: ShardedIndex):
         check_vma=False)
 
     jitted = jax.jit(mapped)
+    import contextlib
 
     def mmp(queries, qlen):
         # index arrays passed as args (not closure constants) so they are
-        # never baked into the HLO
-        return jitted(queries, qlen, si.sa, si.t2, si.sai_val,
-                      si.sai_absent, si.sai_nbit)
+        # never baked into the HLO; mammal-scale tracing needs x64 live
+        ctx = jax.enable_x64(True) if si.big \
+            else contextlib.nullcontext()
+        with ctx:
+            return jitted(queries, qlen, si.sa, si.t2, si.sai_val,
+                          si.sai_absent, si.sai_nbit)
 
     return mmp
 

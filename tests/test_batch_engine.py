@@ -101,3 +101,34 @@ def test_windows_and_assignment_match_host(idx_dir, reads, extra):
                 assert got == [int(x) for x in row], (i, w, s, got, row)
     # the fast path must cover the bulk of reads
     assert n_fb <= n * 0.5
+
+
+def test_nsplit_reads_device_matches_host(tmp_path):
+    """reads with N-split pieces (p_start>0): the reference's flagDirMap skip
+    compares Shift+L (absolute position) against the piece length
+    (ReadAlign_mapOneRead.cpp:74); the device replay must reproduce that"""
+    from star_tpu.run import align_reads
+    gi = GenomeIndex.load_reference_dir(os.path.join(GOLD, "genome_idx"))
+    import numpy as np
+    from star_tpu.constants import NUM_TO_NT
+    rng = np.random.default_rng(5)
+    fq = tmp_path / "n.fastq"
+    with open(fq, "w") as f:
+        for i in range(24):
+            p = int(rng.integers(0, gi.n_genome - 200))
+            seq = "".join(NUM_TO_NT[b] if b < 4 else "A"
+                          for b in gi.G[p:p + 90])
+            nn = int(rng.integers(1, 8))
+            read = "N" * nn + seq  # piece starts at p_start = nn
+            f.write(f"@r{i}\n{read}\n+\n{'I' * len(read)}\n")
+    outs = []
+    for dev in (False, True):
+        pre = str(tmp_path / f"o{int(dev)}") + "/"
+        os.makedirs(pre, exist_ok=True)
+        P = Parameters(["--genomeDir", os.path.join(GOLD, "genome_idx"),
+                        "--readFilesIn", str(fq),
+                        "--outFileNamePrefix", pre,
+                        "--outSAMunmapped", "Within"])
+        align_reads(P, use_device=dev)
+        outs.append(open(pre + "Aligned.out.sam").read())
+    assert outs[0] == outs[1]

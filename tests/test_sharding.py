@@ -99,3 +99,42 @@ def test_sharded_end_to_end_golden(tmp_path):
             == open(os.path.join(GOLD, "se_gtf", "SJ.out.tab")).read())
     assert (open(prefix + "ReadsPerGene.out.tab").read()
             == open(os.path.join(GOLD, "se_quant", "ReadsPerGene.out.tab")).read())
+
+
+def test_sharded_mmp_int64_path(genome_index, monkeypatch):
+    """mammal-scale addressing: force the big (int64 positions/rows) layout
+    on the small genome and require bit-parity — any stray int32 cast in the
+    sharded path changes dtypes and breaks this trace"""
+    import numpy as _np
+    import star_tpu.parallel.mesh as mm
+    gi = genome_index
+    mesh = mm.make_mesh(jax.devices()[:8], dp=2, ix=4)
+    # construct the big layout directly (small genome, int64 dtypes + G-only
+    # text), exactly what ShardedIndex.build produces past the 2^31 threshold
+    ix = 4
+    S = -(-gi.n_sa // ix)
+    sa_pad = _np.full(ix * S, gi.n_sa - 1, dtype=_np.int64)
+    sa_pad[:gi.n_sa] = gi.sa
+    import contextlib
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    with jax.enable_x64(True):
+        t2p = _np.concatenate([gi.G, _np.full(128, 5, dtype=_np.int8)])
+        si = mm.ShardedIndex(
+            mesh=mesh,
+            t2=jax.device_put(t2p, NamedSharding(mesh, P())),
+            g_only=True, n_genome=gi.n_genome,
+            sa=jax.device_put(sa_pad, NamedSharding(mesh, P("ix"))),
+            sai_val=jax.device_put(gi.sai_val.astype(_np.int64),
+                                   NamedSharding(mesh, P())),
+            sai_absent=jax.device_put(gi.sai_absent, NamedSharding(mesh, P())),
+            sai_nbit=jax.device_put(gi.sai_nbit, NamedSharding(mesh, P())),
+            level_start=tuple(int(x) for x in gi.sai_level_start),
+            n_sa=gi.n_sa, n_levels=gi.sa_index_nbases, ql=128,
+            shard_rows=S, big=True)
+    mmp = mm.make_sharded_mmp(si)
+    qs, qlens = _make_queries(gi, 64, seed=3, ql=128)
+    maxl, nrep, lo, hi = [np.asarray(x) for x in mmp(qs, qlens)]
+    assert lo.dtype == np.int64 and hi.dtype == np.int64
+    for b in range(len(qs)):
+        assert (int(maxl[b]), int(nrep[b]), int(lo[b]), int(hi[b])) == \
+            mmp_search(gi, qs[b, :qlens[b]]), b
