@@ -101,6 +101,20 @@ def main():
     jax.block_until_ready(out)
     probes_per_sec = B * reps / (time.time() - t0)
 
+    # HBM-bandwidth fraction of the random-fetch primitive (the memory
+    # engine under every SA bisection step): achieved random-row DMA
+    # bandwidth vs the chip's peak HBM bandwidth (v5e ~819 GB/s)
+    from star_tpu.ops.fetch import fetch_rows, FET
+    fr = jax.jit(lambda t, o: fetch_rows(t, o, use_pallas=True))
+    offs = np.asarray(rng.integers(0, gi.n_sa * 4 - 4096, B).astype(np.int32))
+    jax.block_until_ready(fr(di.saf, offs))
+    t0 = time.time()
+    for _ in range(reps):
+        o2 = fr(di.saf, offs)
+    jax.block_until_ready(o2)
+    fetch_bw = B * reps * FET / (time.time() - t0)
+    hbm_bw_fraction = fetch_bw / 819e9
+
     result = {
         "metric": "reads aligned/sec/chip (synthetic 100bp SE, chr20-scale "
                   "60MB genome, 100k reads)",
@@ -109,6 +123,8 @@ def main():
         "vs_baseline": round(reads_per_sec / BASELINE_REF_READS_PER_SEC, 4),
         "detail": {
             "seed_search_probes_per_sec": round(probes_per_sec, 0),
+            "random_fetch_GBps": round(fetch_bw / 1e9, 1),
+            "hbm_bw_fraction": round(hbm_bw_fraction, 4),
             "baseline_ref_reads_per_sec_1thread": BASELINE_REF_READS_PER_SEC,
             "n_reads": stats.read_n,
         },

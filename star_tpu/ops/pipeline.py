@@ -30,43 +30,51 @@ from .sa_search import DeviceIndex, make_mmp_fn
 MAXP = 64  # probes per chain cap (matches the round-1 64-round cap)
 
 
+def _shift_rows(x, s):
+    """x[i, s_i:] left-shifted into column 0, -1 fill (barrel shifter)"""
+    B, W = x.shape
+    for b in range(10):
+        k = 1 << b
+        if k >= W:
+            break
+        shifted = jnp.concatenate(
+            [x[:, k:], jnp.full((B, k), -1, dtype=x.dtype)], axis=1)
+        x = jnp.where((s[:, None] & k) != 0, shifted, x)
+    return x
+
+
 def make_seed_round(di: DeviceIndex):
     """returns jitted fn for ONE probe round over compacted chain lanes:
-        (chainview [B, QL] int8, offs [B], seed_len [B], valid [B])
-          -> (maxl, nrep, lo, hi) each [B] int32
-    chainview: the chain's piece bytes in search direction (complemented for
-    the reverse direction) starting at column 0, -1 padded.  The round loop
-    itself runs on host (numpy state updates are trivial) so that later
-    rounds dispatch only the surviving chains — actives collapse ~3x per
-    round, so lockstep full-lane rounds would waste most of the device time."""
+        (read_mat [R, RW] int8 device-resident, c_read, start, c_dir, slen,
+         valid [B], budget) -> (maxl, nrep, lo, hi, unconv) each [B]
+    The chain views are built ON DEVICE from the per-batch read matrix
+    (uploaded once): lane i's query bytes are read_mat[c_read_i] at positions
+    start_i +/- k, complemented for the reverse search direction.  The round
+    loop runs on host so later rounds dispatch only the surviving chains,
+    uploading a few int32 descriptors per lane instead of the 128-byte
+    chain view (the host->device link is the bottleneck)."""
     mmp = make_mmp_fn(di)
     QL = di.ql
 
-    def shift_rows(x, s):
-        """x[i, s_i:] left-shifted into column 0, -1 fill (barrel shifter)"""
-        B, W = x.shape
-        for b in range(10):
-            k = 1 << b
-            if k >= W:
-                break
-            shifted = jnp.concatenate(
-                [x[:, k:], jnp.full((B, k), -1, dtype=x.dtype)], axis=1)
-            x = jnp.where((s[:, None] & k) != 0, shifted, x)
-        return x
-
-    def seed_round(t2f, saf, saif, chainview, offs, seed_len, valid, budget):
-        B = chainview.shape[0]
-        q = shift_rows(chainview, offs)
-        pos = jax.lax.broadcasted_iota(jnp.int32, (B, QL), 1)
-        q = jnp.where(pos < seed_len[:, None], q, -1)
-        return mmp(t2f, saf, saif, q, jnp.maximum(seed_len, 0), valid=valid,
+    def seed_round(t2f, saf, saif, read_mat, c_read, start, c_dir, slen,
+                   valid, budget):
+        RW = read_mat.shape[1]
+        rows = jnp.take(read_mat, c_read, axis=0)          # [B, RW]
+        xr = 3 - rows[:, ::-1]          # complement of the flipped row
+        fwd = c_dir[:, None] == 0
+        x = jnp.where(fwd, rows, xr)
+        sh = jnp.where(c_dir == 0, start, RW - 1 - start)
+        q = _shift_rows(x, sh)[:, :QL]
+        pos = jax.lax.broadcasted_iota(jnp.int32, (q.shape[0], QL), 1)
+        q = jnp.where(pos < slen[:, None], q, -1)
+        return mmp(t2f, saf, saif, q, jnp.maximum(slen, 0), valid=valid,
                    budget=budget)
 
     jitted = jax.jit(seed_round)
 
-    def call(chainview, offs, seed_len, valid, budget):
-        return jitted(di.t2f, di.saf, di.saif, chainview, offs, seed_len,
-                      valid, jnp.int32(budget))
+    def call(read_mat_dev, c_read, start, c_dir, slen, valid, budget):
+        return jitted(di.t2f, di.saf, di.saif, read_mat_dev, c_read, start,
+                      c_dir, slen, valid, jnp.int32(budget))
 
     return call
 
@@ -214,7 +222,7 @@ class DeviceAligner:
 
     # fixed lane buckets: compiles happen once per shape and the
     # persistent cache stays hot
-    LANE_BUCKETS = (2048, 16384)
+    LANE_BUCKETS = (2048, 16384, 32768, 131072)
 
     # lockstep loops pay for the slowest lane: cap iterations at a budget
     # that covers the typical SAi-narrowed bisection, then re-dispatch just
@@ -223,12 +231,33 @@ class DeviceAligner:
     PRIMARY_BUDGET = 12
     RESPIN_BUDGET = 72
 
-    def _dispatch(self, cv, offs, slen, n, budget=RESPIN_BUDGET):
+    def _bucket(self, n):
+        return next((b for b in self.LANE_BUCKETS if n <= b),
+                    ((n + self.LANE_BUCKETS[-1] - 1)
+                     // self.LANE_BUCKETS[-1]) * self.LANE_BUCKETS[-1])
+
+    def _dispatch(self, rm_dev, c_read, start, c_dir, slen, n,
+                  budget=RESPIN_BUDGET):
         """pad one compacted round to a lane bucket and run it; internally
         re-dispatches budget-unconverged lanes so results are always final"""
-        lanes = next((b for b in self.LANE_BUCKETS if n <= b),
-                     ((n + self.LANE_BUCKETS[-1] - 1)
-                      // self.LANE_BUCKETS[-1]) * self.LANE_BUCKETS[-1])
+        lanes = self._bucket(n)
+        pad = lambda a, fill=0: np.concatenate(
+            [a, np.full(lanes - n, fill, a.dtype)]) if lanes != n else a
+        out = self.seed_round(rm_dev, pad(c_read), pad(start), pad(c_dir),
+                              pad(slen),
+                              pad(np.ones(n, bool), False), budget)
+        res = [np.asarray(x)[:n] for x in out]
+        unc = res[4]
+        if unc.any() and budget < self.RESPIN_BUDGET:
+            ui = np.nonzero(unc)[0]
+            r2 = self._dispatch(rm_dev, c_read[ui], start[ui], c_dir[ui],
+                                slen[ui], len(ui), budget=self.RESPIN_BUDGET)
+            for a, b in zip(res[:4], r2[:4]):
+                a[ui] = b
+        return res[:4]
+
+    def _dispatch_sharded(self, cv, offs, slen, n):
+        lanes = self._bucket(n)
         QL = cv.shape[1]
         cvp = np.full((lanes, QL), -1, dtype=np.int8)
         cvp[:n] = cv
@@ -238,30 +267,27 @@ class DeviceAligner:
         sp[:n] = slen
         val = np.zeros(lanes, dtype=bool)
         val[:n] = True
-        if self.seed_round_budgeted:
-            out = self.seed_round(cvp, op, sp, val, budget)
-            res = [np.asarray(x)[:n] for x in out]
-            unc = res[4]
-            if unc.any() and budget < self.RESPIN_BUDGET:
-                ui = np.nonzero(unc)[0]
-                r2 = self._dispatch(cv[ui], offs[ui], slen[ui], len(ui),
-                                    budget=self.RESPIN_BUDGET)
-                for a, b in zip(res[:4], r2[:4]):
-                    a[ui] = b
-            return res[:4]
         out = self.seed_round(cvp, op, sp, val)
         return [np.asarray(x)[:n] for x in out]
 
     def _run_chains(self, read_mat, c_read, c_pstart, c_plen, c_dir, c_istl):
         """the reference's per-read seed loop (ReadAlign_mapOneRead.cpp:65-78)
         as batched device rounds with host-side chain compaction: each round
-        dispatches only the chains still alive (actives collapse ~3x/round),
-        with a per-dispatch iteration budget + respin (see _dispatch)."""
+        dispatches only the chains still alive (actives collapse ~3x/round).
+        The read matrix is uploaded once per batch; rounds ship only int32
+        descriptors per lane (the host->device link is the bottleneck)."""
         NC = len(c_read)
         QL = self._ql
         P = self.P
-        shift0 = np.where(c_dir == 0, c_pstart, c_pstart + c_plen - 1)
-        chainview = _build_queries(read_mat, c_read, shift0, c_plen, c_dir, QL)
+        fast = self.seed_round_budgeted
+        if fast:
+            rmp = np.full((read_mat.shape[0], QL), -1, np.int8)
+            rmp[:, :read_mat.shape[1]] = read_mat
+            rm_dev = jax.device_put(rmp)
+        else:
+            shift0 = np.where(c_dir == 0, c_pstart, c_pstart + c_plen - 1)
+            chainview = _build_queries(read_mat, c_read, shift0, c_plen,
+                                       c_dir, QL)
 
         l_mapped = np.zeros(NC, dtype=np.int32)
         active = c_istl + P.seedMapMin < c_plen
@@ -277,7 +303,6 @@ class DeviceAligner:
                 break
             offs = c_istl[idx] + l_mapped[idx]
             slen = c_plen[idx] - l_mapped[idx] - c_istl[idx]
-            # big rounds split into full waves
             maxl = np.empty(len(idx), dtype=np.int32)
             nrep = np.empty_like(maxl)
             lo = np.empty_like(maxl)
@@ -286,8 +311,18 @@ class DeviceAligner:
             for w0 in range(0, len(idx), W):
                 w1 = min(w0 + W, len(idx))
                 sl = idx[w0:w1]
-                r = self._dispatch(chainview[sl], offs[w0:w1], slen[w0:w1],
-                                   w1 - w0, budget=self.PRIMARY_BUDGET)
+                if fast:
+                    start = np.where(
+                        c_dir[sl] == 0, c_pstart[sl] + offs[w0:w1],
+                        c_pstart[sl] + c_plen[sl] - 1 - offs[w0:w1]
+                    ).astype(np.int32)
+                    r = self._dispatch(rm_dev, c_read[sl], start,
+                                       c_dir[sl].astype(np.int32),
+                                       slen[w0:w1], w1 - w0,
+                                       budget=self.PRIMARY_BUDGET)
+                else:
+                    r = self._dispatch_sharded(chainview[sl], offs[w0:w1],
+                                               slen[w0:w1], w1 - w0)
                 maxl[w0:w1], nrep[w0:w1], lo[w0:w1], hi[w0:w1] = r
             oml[idx, k] = maxl
             onr[idx, k] = nrep

@@ -236,7 +236,7 @@ _DEFS: List[ParamDef] = [d for d in [
     ParamDef("soloAdapterMismatchesNmax", "int", 1),
     ParamDef("readFilesManifest", "str_list", ["-"]),
     # framework-specific (no reference analog): device batching
-    ParamDef("tpuBatchSize", "int", 4096),
+    ParamDef("tpuBatchSize", "int", 16384),
     ParamDef("tpuUseDevice", "int", 1),
     ParamDef("tpuShardedIndex", "int", 0),
 ] ]

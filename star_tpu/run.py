@@ -589,8 +589,10 @@ def _has_novel_junction(res) -> bool:
 
 def _align_all(P: Parameters, gi: GenomeIndex, stats: RunStats, use_device: bool,
                holder=None):
-    if P.soloTypeYes:
+    if P.soloTypeYes and P.soloType[0] != "SmartSeq":
         # barcode read is the last file; only the cDNA read is aligned
+        # (SmartSeq has no barcode read: wells come from the file index, so
+        # it flows through the plain reader below which tracks it)
         def reader_gen():
             for name, seqs, quals, ftype in read_pairs(P.readFilesIn[:2], P.readFilesCommand):
                 yield name, seqs[:1], quals[:1], ftype, (seqs[1], quals[1])

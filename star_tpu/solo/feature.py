@@ -55,8 +55,9 @@ class SoloReadFeature:
 
     def __init__(self, feature_type: int, P, wl_size: int,
                  read_index_yes: bool, read_stats_yes: bool,
-                 read_info_yes: bool = False):
+                 read_info_yes: bool = False, smart_seq: bool = False):
         self.feature_type = feature_type
+        self.smart_seq = smart_seq
         self.read_index_yes = read_index_yes
         self.read_stats_yes = read_stats_yes
         self.read_info_yes = read_info_yes
@@ -102,6 +103,24 @@ class SoloReadFeature:
                     self.flag_counts_no_cb[ib] += (flag >> ib) & 1
         if cb_match < 0:
             return
+
+        ft_local = self.feature_type
+        if self.smart_seq and n_tr > 0:
+            # SmartSeq pseudo-UMI: (chrStart << 32) | extended length of the
+            # last feature-annotated alignment (SoloReadFeature_record.cpp:87-91
+            # indAnnotTr + Transcript::chrStartLengthExtended)
+            ind = 0
+            fal = annot.falign.get(ft_local)
+            if fal:
+                for itr in range(n_tr - 1, -1, -1):
+                    if fal[itr]:
+                        ind = itr
+                        break
+            tr = transcripts[ind]
+            start1 = tr.cStart - tr.exons[0][0]
+            length1 = (tr.exons[-1][1] + tr.Lread - tr.exons[-1][0]
+                       - tr.exons[0][1] + tr.exons[0][0])
+            umi = (start1 << 32) | length1
 
         n_feat = 0
         out: List[tuple] = []
@@ -318,6 +337,57 @@ class SoloFeatureProc:
                 stats["yesCellBarcodes"] += 1
             stats["yesWLmatch"] += int(self.n_read_per_cb_total[icb])
             stats["yessubWLmatch_UniqueFeature"] += int(self.n_read_per_cb_unique[icb])
+
+    def count_smart_seq(self):
+        """SmartSeq per-well counting (reference SoloFeature_countSmartSeq.cpp):
+        reads sorted by (feature, pseudo-UMI); NoDedup counts all reads of a
+        feature, Exact counts distinct consecutive pseudo-UMIs."""
+        from .collapse import DEDUP_NAMES
+        from collections import OrderedDict
+        conf = self.conf
+        stats = self.rf.stats
+        per_cb: Dict[int, List[Tuple[int, int]]] = {int(c): [] for c in self.ind_cb}
+        for (umi, iread, flag, feature, cb_match, matches) in self.rf.records:
+            if feature == -1:
+                continue
+            per_cb[matches[0][0]].append((int(feature), int(umi)))
+        cols = {DEDUP_NAMES[t]: j + 1 for j, t in enumerate(conf.types)}
+        self.count_mat_stride = conf.n_dedup + 1
+        self.rows_per_cb = []
+        self.mult_per_cb = [[] for _ in range(self.n_cb)]
+        self.mult_genes_per_cb = [[] for _ in range(self.n_cb)]
+        self.n_umi_per_cb = np.zeros(self.n_cb, dtype=np.int64)
+        self.n_gene_per_cb = np.zeros(self.n_cb, dtype=np.int64)
+        n_read = np.zeros(self.n_cb, dtype=np.int64)
+        self.flag_counts = OrderedDict()
+        for icb in range(self.n_cb):
+            fu = sorted(per_cb[int(self.ind_cb[icb])])
+            n_read[icb] = len(fu)
+            rows: List[List[int]] = []
+            for k, (f, u) in enumerate(fu):
+                if k == 0 or f != fu[k - 1][0]:
+                    row = [f] + [0] * conf.n_dedup
+                    if "NoDedup" in cols:
+                        row[cols["NoDedup"]] = 1
+                    if "Exact" in cols:
+                        row[cols["Exact"]] = 1
+                    rows.append(row)
+                else:
+                    if "NoDedup" in cols:
+                        rows[-1][cols["NoDedup"]] += 1
+                    if u != fu[k - 1][1] and "Exact" in cols:
+                        rows[-1][cols["Exact"]] += 1
+            self.rows_per_cb.append(rows)
+            self.n_gene_per_cb[icb] = len(rows)
+            self.n_umi_per_cb[icb] = sum(r[1] for r in rows)
+            stats["yesUMIs"] += int(self.n_umi_per_cb[icb])
+            if len(rows) > 0:
+                stats["yesCellBarcodes"] += 1
+        self.n_read_per_cb_total = n_read
+        self.n_read_per_cb_unique = n_read.copy()
+        stats["yesWLmatch"] += int(n_read.sum())
+        stats["yessubWLmatch_UniqueFeature"] += int(n_read.sum())
+        stats["yessubWLmatchExact"] = stats["yesWLmatch"]
 
     @staticmethod
     def _counts_add(flag_counts, cb, flag):
@@ -618,7 +688,8 @@ class SoloFeatureProc:
         else:  # C double division: x/0 = inf (x>0), 0/0 = -nan
             sat = "-inf" if st["yesUMIs"] > 0 else "-nan"
         lines.append("Sequencing Saturation," + sat)
-        lines.append(f"Q30 Bases in CB+UMI,{fmt_g(q30_bc[0] / max(q30_bc[1], 1))}")
+        if not self.rf.smart_seq:
+            lines.append(f"Q30 Bases in CB+UMI,{fmt_g(q30_bc[0] / max(q30_bc[1], 1))}")
         lines.append(f"Q30 Bases in RNA read,{fmt_g(q30_rna[0] / max(q30_rna[1], 1))}")
         lines.append("Reads Mapped to Genome: Unique+Multiple,"
                      + fmt_g(run_stats["mappedUM"] / n))

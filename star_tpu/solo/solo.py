@@ -530,6 +530,27 @@ BAR_STATS = ["noNoAdapter", "noNoUMI", "noNoCB", "noNinCB", "noNinUMI",
              "yesMultWLmatchWithMM"]
 
 
+class SoloBarcodesSmartSeq:
+    """SmartSeq "barcodes": one well per input file, labelled by the RG IDs
+    (reference ParametersSolo.cpp:344-347 cbWLstr=outSAMattrRG;
+    SoloReadBarcode_getCBandUMI.cpp:152-160 cbMatch=0, ind=readFilesIndex)."""
+
+    def __init__(self, P):
+        if not P.outSAMattrRG:
+            raise SystemExit(
+                "EXITING because of fatal PARAMETERS error: --soloType "
+                "SmartSeq requires read-group IDs for the wells\nSOLUTION: "
+                "supply reads via --readFilesManifest with ID:xxx read groups "
+                "(or --outSAMattrRGline)")
+        self.wl_str = list(P.outSAMattrRG)
+        self.wl_size = len(self.wl_str)
+        self.umi_l = 0
+        self.qual_whole = True
+        self.one_exact = False
+        self.mm1_multi_pc = False
+        self.cb_read_count_exact = np.zeros(self.wl_size, dtype=np.int64)
+
+
 class Solo:
     """multi-feature STARsolo driver (reference Solo + SoloFeature)"""
 
@@ -537,7 +558,21 @@ class Solo:
         self.gi = gi
         self.P = P
         self.trm = trm
-        if P.soloType[0] == "CB_UMI_Complex":
+        self.smart_seq = P.soloType[0] == "SmartSeq"
+        if self.smart_seq:
+            bad = [t for t in P.soloUMIdedup if t not in ("NoDedup", "Exact")]
+            if bad:
+                raise SystemExit(
+                    f"EXITING because of fatal PARAMETERS error: --soloUMIdedup "
+                    f"= {bad[0]} is not allowed for --soloType SmartSeq\n"
+                    "SOLUTION: use --soloUMIdedup Exact and/or NoDedup")
+            if "Velocyto" in P.soloFeatures:
+                raise SystemExit(
+                    "EXITING because of fatal PARAMETERS error: --soloFeatures "
+                    "Velocyto is presently not compatible with --soloType "
+                    "SmartSeq .\nSOLUTION: remove Velocyto from --soloFeatures")
+            self.bc = SoloBarcodesSmartSeq(P)
+        elif P.soloType[0] == "CB_UMI_Complex":
             self.bc = SoloBarcodesComplex(P)
         else:
             self.bc = SoloBarcodes(P)
@@ -576,7 +611,8 @@ class Solo:
                     read_index_yes[ft] = True
         self.recorders = {ft: SoloReadFeature(
             ft, P, self.bc.wl_size, read_index_yes[ft],
-            self.read_stats_yes[ft], self.read_info_yes[ft])
+            self.read_stats_yes[ft], self.read_info_yes[ft],
+            smart_seq=self.smart_seq)
             for ft in self.features}
         self.bar_stats = dict.fromkeys(BAR_STATS, 0)
         self.n_reads = 0
@@ -590,7 +626,15 @@ class Solo:
     # -------------------------------------------------------------- mapping
     def add_read(self, res, b_seq: str, b_qual: str, i_read: int):
         self.n_reads += 1
-        cb_match, matches, umi, parts = self.bc.get_cb_umi(b_seq, b_qual)
+        if self.smart_seq:
+            # well index = input file index; pseudo-UMI computed per feature
+            # in SoloReadFeature.record (getCBandUMI.cpp:152-160)
+            cb_match = 0
+            matches = [(getattr(res, "read_file_index", 0), "")]
+            umi = None
+            parts = ("", "", "", "")
+        else:
+            cb_match, matches, umi, parts = self.bc.get_cb_umi(b_seq, b_qual)
         # raw barcode attrs for SAM CR/CY/UR/UY (alignBAM ATTR_CR etc.)
         res.solo_bar = parts
         # qualHist basis: CB+UMI quals for CB_UMI_Simple, whole barcode read
@@ -661,6 +705,8 @@ class Solo:
             proc.sum_threads()
             if ft == FT_VELOCYTO:
                 proc.count_velocyto(self.procs[FT_GENE])
+            elif self.smart_seq:
+                proc.count_smart_seq()
             else:
                 proc.count_cb_gene_umi()
             with open(prefix + "Features.stats", "w") as f:

@@ -176,3 +176,30 @@ def test_solo_complex(tmp_path, name, wltype):
                               "--outFileNamePrefix", prefix])
     align_reads(P, use_device=False)
     _diff_tree(os.path.join(GC, name, "Solo.out"), prefix + "Solo.out")
+
+
+def test_smartseq_counting_golden(tmp_path):
+    """--soloType SmartSeq per-well counting (reference
+    SoloFeature_countSmartSeq.cpp): matrices + stats byte-identical"""
+    import os
+    from tests.conftest import GOLD
+    from star_tpu.params import Parameters
+    from star_tpu.run import align_reads
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    prefix = str(tmp_path) + "/"
+    P = Parameters(["--genomeDir", os.path.join(GOLD, "genome_idx_gtf"),
+                    "--readFilesManifest",
+                    os.path.join(root, "tests", "data", "smartseq", "manifest.tsv"),
+                    "--soloType", "SmartSeq",
+                    "--soloUMIdedup", "Exact", "NoDedup",
+                    "--soloStrand", "Unstranded", "--soloFeatures", "Gene",
+                    "--soloCellFilter", "None", "--outSAMtype", "None",
+                    "--outFileNamePrefix", prefix])
+    align_reads(P, use_device=False)
+    gold = os.path.join(root, "tests", "golden", "smartseq", "Solo.out")
+    for rel in ("Barcodes.stats", "Gene/Features.stats", "Gene/Summary.csv",
+                "Gene/raw/barcodes.tsv", "Gene/raw/features.tsv",
+                "Gene/raw/umiDedup-Exact.mtx", "Gene/raw/umiDedup-NoDedup.mtx"):
+        got = open(prefix + "Solo.out/" + rel).read()
+        want = open(os.path.join(gold, rel)).read()
+        assert got == want, rel
