@@ -64,8 +64,10 @@ def main():
                     "--readMapNumber", str(N_READS)])
     os.makedirs("/tmp/star_tpu_bench_chr20/out", exist_ok=True)
 
-    # warmup (jit compile / persistent-cache load) covering both executable
-    # shapes: the small-batch bucket and the full wave
+    # warmup (jit compile / persistent-cache load): compile every lane
+    # bucket explicitly, then run two batch shapes end-to-end
+    from star_tpu.ops.pipeline import DeviceAligner
+    DeviceAligner(gi, P).warm_buckets(102)
     Pw = P.clone(readMapNumber=3000,
                  outFileNamePrefix="/tmp/star_tpu_bench_chr20/warm/")
     os.makedirs("/tmp/star_tpu_bench_chr20/warm", exist_ok=True)

@@ -222,7 +222,9 @@ class DeviceAligner:
 
     # fixed lane buckets: compiles happen once per shape and the
     # persistent cache stays hot
-    LANE_BUCKETS = (2048, 16384, 32768, 131072)
+    # bucket cap: the pallas fetch kernels keep their per-lane offset arrays
+    # in SMEM (1 MB); 128K-lane shapes blow it (compile OOM on v5e)
+    LANE_BUCKETS = (2048, 16384, 32768)
 
     # lockstep loops pay for the slowest lane: cap iterations at a budget
     # that covers the typical SAi-narrowed bisection, then re-dispatch just
@@ -235,6 +237,17 @@ class DeviceAligner:
         return next((b for b in self.LANE_BUCKETS if n <= b),
                     ((n + self.LANE_BUCKETS[-1] - 1)
                      // self.LANE_BUCKETS[-1]) * self.LANE_BUCKETS[-1])
+
+    def warm_buckets(self, max_read_len: int = 100):
+        """compile every lane-bucket shape up front (remote compiles cost
+        minutes; an unwarmed shape would land inside a timed run)"""
+        self._ensure_kernel(max_read_len)
+        if not self.seed_round_budgeted:
+            return
+        rm = jax.device_put(np.full((1, self._ql), -1, np.int8))
+        for b in self.LANE_BUCKETS:
+            z = np.zeros(b, np.int32)
+            self._dispatch(rm, z, z, z, z, b, budget=self.PRIMARY_BUDGET)
 
     def _dispatch(self, rm_dev, c_read, start, c_dir, slen, n,
                   budget=RESPIN_BUDGET):
