@@ -126,6 +126,10 @@ def unmapped_sam(res: ReadResult, gi, P, mate_mapped) -> str:
             v = solo_attr_value(attr, res, 0, P)
             if v is not None:
                 f.append(f"{attr}:Z:{v}")
+        extra = getattr(res, "name_extra", None)
+        if P.readFilesTypeN == 10 and extra and extra[imate]:
+            # SAM input attributes re-emitted (outputTranscriptSAM.cpp:47-49)
+            f.append(extra[imate])
         lines.append("\t".join(f))
     return "\n".join(lines)
 
@@ -157,6 +161,7 @@ def transcript_sam(tr: Transcript, res: ReadResult, n_tr_out: int, i_tr: int,
                    gi, P, mate_chr=None, mate_start=None, mate_strand=0) -> str:
     if (mate_chr is None and len(res.seqs) == 1
             and tuple(P.samAttrOrder) == _STD_ATTRS
+            and P.readFilesTypeN != 10
             and P.outSAMflagAND == 65535 and P.outSAMflagOR == 0):
         return _transcript_sam_se_fast(tr, res, n_tr_out, i_tr, gi, P)
     n_mates_read = len(res.seqs)
@@ -277,6 +282,11 @@ def transcript_sam(tr: Transcript, res: ReadResult, n_tr_out: int, i_tr: int,
                 v = solo_attr_value(attr, res, i_tr, P)
                 if v is not None:
                     f.append(f"{attr}:Z:{v}")
+        extra = getattr(res, "name_extra", None)
+        if P.readFilesTypeN == 10 and extra and extra[mate]:
+            # SAM input: the input line's attributes are re-emitted verbatim
+            # (reference outputTranscriptSAM.cpp:351-353)
+            f.append(extra[mate])
         lines.append("\t".join(f))
     return "\n".join(lines)
 

@@ -29,7 +29,6 @@ from ..constants import MARK_FRAG_SPACER_BASE, MAX_N_EXONS, SCORE_MATCH
 # static envelope of the fast path; beyond any of these -> host fallback
 W_MAX = 8       # windows per read (live slots, incl. dead-by-merge)
 S_MAX = 16      # seeds per window
-ENUM_MAX = 8    # seeds per window enumerable as include/exclude subsets
 RPT = 256       # repeat-shift scan bound (MAX_SJ_REPEAT_SEARCH + 1)
 PAD_BASE = 255  # out-of-read padding: fails every base compare like C++ OOB
 
@@ -485,20 +484,6 @@ def assign_seeds(gi, P, ws: WindowsState, arec: dict, a_counts: np.ndarray
 # Stage D: subset enumeration (reference stitchWindowAligns DFS order)
 # --------------------------------------------------------------------------
 
-def _dfs_masks(n: int) -> np.ndarray:
-    """all nonempty include/exclude subsets of n seeds in the reference's
-    DFS order (include branch first at every level: bit s of the mask is
-    seed s; order = descending by bit-reversed mask)."""
-    m = np.arange((1 << n) - 1, -1, -1)
-    rev = np.zeros_like(m)
-    for s in range(n):
-        rev |= ((m >> (n - 1 - s)) & 1) << s
-    return rev[rev != 0]
-
-
-_DFS_CACHE = {n: _dfs_masks(n) for n in range(1, ENUM_MAX + 1)}
-
-
 @dataclass
 class LaneState:
     b: np.ndarray          # [L] read index
@@ -532,32 +517,35 @@ class LaneState:
     alive: np.ndarray      # [L] bool
 
 
-def make_lanes(st: WAState) -> LaneState:
-    """one lane per (read, window, nonempty seed subset) in DFS order"""
-    bw = np.nonzero((st.wa_n > 0) & ~st.fallback[:, None])
-    bb, ww = bw
-    n = st.wa_n[bb, ww]
-    over = n > ENUM_MAX
-    st.fallback[bb[over]] = True
-    keep = ~st.fallback[bb]
-    bb, ww, n = bb[keep], ww[keep], n[keep]
-    counts = (1 << n.astype(np.int64)) - 1
-    L = int(counts.sum())
-    lane_b = np.repeat(bb, counts).astype(np.int32)
-    lane_w = np.repeat(ww, counts).astype(np.int32)
-    lane_dfs = (np.arange(L) - np.repeat(np.cumsum(counts) - counts, counts)
-                ).astype(np.int32)
-    mask = np.zeros(L, np.int64)
-    for nn in range(1, ENUM_MAX + 1):
-        sel = np.repeat(n == nn, counts)
-        if sel.any():
-            mask[sel] = np.tile(_DFS_CACHE[nn],
-                                int(sel.sum()) // len(_DFS_CACHE[nn]))
+import dataclasses as _dc
+
+_LANE_FIELDS = None
+
+
+def _lane_fields():
+    global _LANE_FIELDS
+    if _LANE_FIELDS is None:
+        _LANE_FIELDS = [f.name for f in _dc.fields(LaneState)]
+    return _LANE_FIELDS
+
+
+def _lanes_take(lanes: LaneState, idx) -> LaneState:
+    return LaneState(**{k: getattr(lanes, k)[idx] for k in _lane_fields()})
+
+
+def _lanes_concat(a: LaneState, b: LaneState) -> LaneState:
+    return LaneState(**{k: np.concatenate([getattr(a, k), getattr(b, k)])
+                        for k in _lane_fields()})
+
+
+def _empty_lanes(bb, ww) -> LaneState:
+    L = len(bb)
     E = MAX_N_EXONS
     z64 = lambda *s: np.zeros(s, np.int64)
     z32 = lambda *s: np.zeros(s, np.int32)
     return LaneState(
-        b=lane_b, w=lane_w, mask=mask, dfs=lane_dfs,
+        b=bb.astype(np.int32), w=ww.astype(np.int32), mask=z64(L),
+        dfs=z32(L),
         ex_rs=z64(L, E), ex_gs=z64(L, E), ex_len=z64(L, E),
         ex_frag=np.zeros((L, E), np.int8), ex_sja=np.full((L, E), -1, np.int64),
         sj_can=z32(L, E), sj_shl=z32(L, E), sj_shr=z32(L, E),
@@ -567,6 +555,80 @@ def make_lanes(st: WAState) -> LaneState:
         n_uniq=z32(L), n_anchor=z32(L),
         score=z64(L), tR2=z64(L), tG2=z64(L),
         alive=np.ones(L, bool))
+
+
+CHAIN_CAP = 1024   # valid chains per window before host fallback
+
+
+def grow_chains(gi, P, G, RS, st: WAState, ws, nmm_max_read, Lpad
+                ) -> LaneState:
+    """DFS-equivalent chain enumeration, output-sensitive: the frontier holds
+    every valid partial chain (the recursion's live include-paths); the
+    include branch only extends chains whose stitch succeeded, so dead
+    subsets never spawn descendants and 2^n masks never materialize
+    (reference: the early-return pruning in stitchWindowAligns.cpp:336-351).
+    Returns completed chains sorted in the recursion's DFS visit order."""
+    B = ws.n_reads
+    bb, ww = np.nonzero((st.wa_n > 0) & ~st.fallback[:, None])
+    lanes = _empty_lanes(bb, ww)
+    smax = int(st.wa_n.max()) if st.wa_n.size else 0
+    for s in range(smax):
+        ok_read = ~st.fallback[lanes.b]
+        if not ok_read.all():
+            lanes = _lanes_take(lanes, np.nonzero(ok_read)[0])
+        cand = np.nonzero(s < st.wa_n[lanes.b, lanes.w])[0]
+        if len(cand) == 0:
+            continue
+        inc = _lanes_take(lanes, cand)
+        inc.mask = inc.mask | (np.int64(1) << s)
+        bb2 = inc.b
+        ww2 = inc.w
+        rB = st.wa_rs[bb2, ww2, s]
+        gB = st.wa_gs[bb2, ww2, s]
+        L = st.wa_len[bb2, ww2, s]
+        fragB = st.wa_frag[bb2, ww2, s].astype(np.int64)
+        sjA = st.wa_sja[bb2, ww2, s]
+        nrepB = st.wa_nrep[bb2, ww2, s]
+        anchB = st.wa_anchor[bb2, ww2, s].astype(np.int64)
+        wstr = ws.win_str[bb2, ww2].astype(np.int64)
+        row_all = bb2.astype(np.int64) + B * wstr
+        nmm = nmm_max_read[bb2]
+        first = inc.n_ex == 0
+        fi = np.nonzero(first)[0]
+        if len(fi):
+            _append_exon(inc, fi, np.zeros(len(fi), np.int64),
+                         rB[fi], gB[fi], L[fi], fragB[fi], sjA[fi])
+            inc.n_match[fi] = L[fi]
+            inc.score[fi] = SCORE_MATCH * L[fi]
+            inc.tR2[fi] = rB[fi] + L[fi] - 1
+            inc.tG2[fi] = gB[fi] + L[fi] - 1
+            inc.n_uniq[fi] += (nrepB[fi] == 1)
+            inc.n_anchor[fi] += (anchB[fi] > 0)
+        il2 = np.nonzero(~first)[0]
+        if len(il2):
+            stitch_step_vec(gi, P, G, RS, row_all, inc, il2, rB[il2],
+                            gB[il2], L[il2], fragB[il2], sjA[il2],
+                            nrepB[il2], anchB[il2], nmm[il2], Lpad)
+        grown = _lanes_take(inc, np.nonzero(inc.alive)[0])
+        lanes = _lanes_concat(lanes, grown)
+        # frontier cap: combinatorial windows go to the host oracle
+        keys = lanes.b.astype(np.int64) * W_MAX + lanes.w
+        cnt = np.bincount(keys, minlength=B * W_MAX)
+        over = np.nonzero(cnt > CHAIN_CAP)[0]
+        if len(over):
+            st.fallback[over // W_MAX] = True
+
+    sel = (lanes.mask != 0) & ~st.fallback[lanes.b]
+    lanes = _lanes_take(lanes, np.nonzero(sel)[0])
+    # DFS visit order: include-first recursion == descending bit-reversed
+    # mask (seed 0 is the most significant decision)
+    n = st.wa_n[lanes.b, lanes.w].astype(np.int64)
+    rev = np.zeros(len(lanes.b), np.int64)
+    for s in range(S_MAX):
+        bit = (lanes.mask >> s) & 1
+        rev |= bit << np.maximum(n - 1 - s, 0)
+    order = np.lexsort((-rev, lanes.w, lanes.b))
+    return _lanes_take(lanes, order)
 
 
 # --------------------------------------------------------------------------
@@ -1132,50 +1194,6 @@ def _stitch_same_frag(gi, P, G, RS, row, lanes: LaneState, il, si, rB, gB,
 # chain replay: run every lane's included seeds through the stitcher
 # --------------------------------------------------------------------------
 
-def replay_chains(gi, P, G, RS, lanes: LaneState, st: WAState, ws,
-                  nmm_max_read, Lpad):
-    """lanes.row selection: window strand 0 -> forward read row, 1 -> rc row.
-    RS is [2B, Lmax]: rows 0..B-1 forward, B.. reverse-complement."""
-    B = ws.n_reads
-    wstr = ws.win_str[lanes.b, lanes.w].astype(np.int64)
-    row_all = lanes.b.astype(np.int64) + B * wstr
-    nmm_all = nmm_max_read[lanes.b]
-    for s in range(ENUM_MAX):
-        inc = lanes.alive & (((lanes.mask >> s) & 1) == 1) \
-            & (s < st.wa_n[lanes.b, lanes.w])
-        il = np.nonzero(inc)[0]
-        if len(il) == 0:
-            continue
-        bb = lanes.b[il]
-        ww = lanes.w[il]
-        rB = st.wa_rs[bb, ww, s]
-        gB = st.wa_gs[bb, ww, s]
-        L = st.wa_len[bb, ww, s]
-        fragB = st.wa_frag[bb, ww, s].astype(np.int64)
-        sjA = st.wa_sja[bb, ww, s]
-        nrepB = st.wa_nrep[bb, ww, s]
-        anchB = st.wa_anchor[bb, ww, s].astype(np.int64)
-        first = lanes.n_ex[il] == 0
-        fi = il[first]
-        if len(fi):
-            # chain start: init transcript from the seed
-            _append_exon(lanes, fi, np.zeros(len(fi), np.int64),
-                         rB[first], gB[first], L[first], fragB[first],
-                         sjA[first])
-            lanes.n_match[fi] = L[first]
-            lanes.score[fi] = SCORE_MATCH * L[first]
-            lanes.tR2[fi] = rB[first] + L[first] - 1
-            lanes.tG2[fi] = gB[first] + L[first] - 1
-            lanes.n_uniq[fi] += (nrepB[first] == 1)
-            lanes.n_anchor[fi] += (anchB[first] > 0)
-        il2 = il[~first]
-        if len(il2):
-            nf = ~first
-            stitch_step_vec(gi, P, G, RS, row_all, lanes, il2, rB[nf],
-                            gB[nf], L[nf], fragB[nf], sjA[nf], nrepB[nf],
-                            anchB[nf], nmm_all[il2], Lpad)
-
-
 # --------------------------------------------------------------------------
 # finalization (reference stitchWindowAligns.cpp:56-265 per completed chain)
 # --------------------------------------------------------------------------
@@ -1670,11 +1688,10 @@ def stitch_batch(gi, P, seeds: SeedArrays, read_fwd_u8, read_rc_u8,
     ws = build_windows(gi, P, crec, cc, B)
     ws.fallback |= fb0
     st = assign_seeds(gi, P, ws, arec, ac)
-    lanes = make_lanes(st)
     G = gi.G if gi.G.dtype == np.uint8 else gi.G.view(np.uint8)
     RS = np.concatenate([read_fwd_u8, read_rc_u8], axis=0)
     Lpad = read_fwd_u8.shape[1] + 2
-    replay_chains(gi, P, G, RS, lanes, st, ws, nmm_max_read, Lpad)
+    lanes = grow_chains(gi, P, G, RS, st, ws, nmm_max_read, Lpad)
     accept = finalize_lanes(gi, P, G, RS, lanes, ws, nmm_max_read,
                             read_len2, lread, Lpad)
     results = assemble(gi, P, lanes, accept, ws, st, lread)

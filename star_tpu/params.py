@@ -73,6 +73,7 @@ _DEFS: List[ParamDef] = [d for d in [
     ParamDef("sjdbInsertSave", "str", "Basic"),
     # input
     ParamDef("readFilesIn", "str_list", ["Read1", "Read2"]),
+    ParamDef("readFilesType", "str_list", ["Fastx"]),
     ParamDef("readFilesCommand", "str_list", ["-"]),
     ParamDef("readNameSeparator", "str_list", ["/"]),
     ParamDef("readMapNumber", "int", -1),
@@ -365,7 +366,21 @@ class Parameters:
 
     def derive(self):
         self._init_read_files()
-        self.readNmates = 1 if (len(self.readFilesIn) < 2 or self.readFilesIn[1] in ("", "-")) else 2
+        # --readFilesType SAM SE/PE: one input stream carrying both mates
+        # (reference Parameters.cpp readFilesTypeN=10)
+        self.readFilesTypeN = 10 if self.readFilesType[0] == "SAM" else 0
+        self.samInputNmates = 0
+        if self.readFilesTypeN == 10:
+            if len(self.readFilesType) < 2 or self.readFilesType[1] not in ("SE", "PE"):
+                raise SystemExit(
+                    "EXITING because of fatal PARAMETERS error: --readFilesType "
+                    "SAM requires SE or PE\nSOLUTION: use --readFilesType SAM "
+                    "SE or --readFilesType SAM PE")
+            self.samInputNmates = 1 if self.readFilesType[1] == "SE" else 2
+        if self.readFilesTypeN == 10:
+            self.readNmates = self.samInputNmates
+        else:
+            self.readNmates = 1 if (len(self.readFilesIn) < 2 or self.readFilesIn[1] in ("", "-")) else 2
         if self.soloType[0] != "None" and self.soloType[0] != "SmartSeq":
             self.readNmates = 1  # the barcode read is not aligned
         self.readNends = self.readNmates  # barcodes add ends later (solo)

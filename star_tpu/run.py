@@ -631,30 +631,32 @@ def _align_all(P: Parameters, gi: GenomeIndex, stats: RunStats, use_device: bool
                 n += 1
                 yield res
         return
-    reader_idx = read_pairs_indexed(P.readFilesIn[:P.readNmates],
-                                    P.readFilesCommand)
+    reader_idx = read_pairs_indexed(P.readFilesIn[:max(P.readNmates, 1)],
+                                    P.readFilesCommand,
+                                    sam_mates=P.samInputNmates)
     if use_device:
         from .ops.pipeline import DeviceAligner
         aligner = DeviceAligner(gi, P)
         file_idx = []
 
         def plain():
-            for name, seqs, quals, ftype, ifile in reader_idx:
-                file_idx.append(ifile)
+            for name, seqs, quals, ftype, ifile, extra in reader_idx:
+                file_idx.append((ifile, extra))
                 yield name, seqs, quals, ftype
         # align_stream yields in input order (reference-order replay)
         for k, res in enumerate(aligner.align_stream(plain(), stats)):
-            res.read_file_index = file_idx[k]
+            res.read_file_index, res.name_extra = file_idx[k]
             yield res
     else:
         aligner = ReadAligner(gi, P)
         n = 0
-        for name, seqs, quals, ftype, ifile in reader_idx:
+        for name, seqs, quals, ftype, ifile, extra in reader_idx:
             if P.readMapNumber >= 0 and n >= P.readMapNumber:
                 break
             res = aligner.align_read(name, seqs, quals)
             res.read_file_type = ftype
             res.read_file_index = ifile
+            res.name_extra = extra
             res.i_read_all = n
             stats.add_read(res)
             n += 1
