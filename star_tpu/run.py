@@ -325,6 +325,7 @@ def _run_mapping(P: Parameters, gi: GenomeIndex, use_device=None) -> RunStats:
 
     chim_stream = None
     chim_lines = []
+    chim_sam_lines = []
     if P.chimSegmentMin > 0 and P.outFilterBySJoutStage <= 1:
         from .align.chimeric import detect_chimeric_old, align_score, junction_line
         chim_stream = (detect_chimeric_old, align_score, junction_line)
@@ -360,6 +361,9 @@ def _run_mapping(P: Parameters, gi: GenomeIndex, use_device=None) -> RunStats:
                             getattr(res, "i_read_all", 0), 0)
                     if P.chimOutTypeJunctions:
                         chim_lines.append(jline(chim, res, gi, P))
+                    if P.chimOutTypeSAMold:
+                        chim_sam_lines.extend(
+                            _chimeric_sam_old(chim.tr, res, gi, P))
             elif res.tr_best.maxScore <= (res.read_length[0]
                                           + res.read_length[1]
                                           - P.chimNonchimScoreDropMin):
@@ -514,6 +518,11 @@ def _run_mapping(P: Parameters, gi: GenomeIndex, use_device=None) -> RunStats:
         n_unmapped = (stats.unmapped_mm + stats.unmapped_short
                       + stats.unmapped_other + stats.unmapped_multi)
         gene_counts.write(prefix + "ReadsPerGene.out.tab", n_unmapped)
+    if chim_stream is not None and P.chimOutTypeSAMold:
+        with open(prefix + "Chimeric.out.sam", "w") as f:
+            f.write(sam_header(gi_o, P))
+            for l in chim_sam_lines:
+                f.write(l + "\n")
     if chim_stream is not None and P.chimOutTypeJunctions:
         with open(prefix + "Chimeric.out.junction", "w") as f:
             if P.chimMultimapNmax > 0:
@@ -688,3 +697,38 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+def _chimeric_sam_old(tr_chim, res, gi, P):
+    """Chimeric.out.sam records for the two chimeric segments (reference
+    ReadAlign_chimericDetectionOldOutput.cpp:18-59): primary-flag selection,
+    then outputTranscriptSAM with nTr=2 and PE mate fields."""
+    from .io.sam import transcript_sam
+    t0, t1 = tr_chim[0], tr_chim[1]
+    if t0.exons[0][3] != t0.exons[-1][3]:
+        t0.primaryFlag, t1.primaryFlag = True, False
+    elif t1.exons[0][3] != t1.exons[-1][3]:
+        t1.primaryFlag, t0.primaryFlag = True, False
+    elif t0.exons[0][3] != t1.exons[0][3]:
+        t0.primaryFlag = t1.primaryFlag = True
+    else:
+        rep = 0 if t0.maxScore > t1.maxScore else 1
+        tr_chim[rep].primaryFlag = True
+        tr_chim[1 - rep].primaryFlag = False
+    lines = []
+    for i_tr in range(2):
+        tr = tr_chim[i_tr]
+        other = tr_chim[1 - i_tr]
+        if len(res.seqs) == 2:
+            iex = 0
+            if other.exons[0][3] != other.exons[-1][3]:
+                while iex < other.nExons and \
+                        other.exons[iex][3] == tr.exons[0][3]:
+                    iex += 1
+            lines.append(transcript_sam(
+                tr, res, 2, i_tr, gi, P, mate_chr=other.Chr,
+                mate_start=other.exons[iex][1],
+                mate_strand=int(other.Str != other.exons[iex][3])))
+        else:
+            lines.append(transcript_sam(tr, res, 2, i_tr, gi, P))
+    return lines

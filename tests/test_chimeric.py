@@ -73,3 +73,24 @@ def test_chimeric_within_bam(tmp_path, genome_index, name, extra, gold,
     _, want = read_bam_records(
         os.path.join(GOLD, gold, "Aligned.out.bam"))
     assert got == want
+
+
+def test_chimeric_separate_sam_old(tmp_path):
+    """--chimOutType SeparateSAMold writes Chimeric.out.sam (reference
+    ReadAlign_chimericDetectionOldOutput.cpp)"""
+    import os
+    from tests.conftest import DATA, GOLD
+    from star_tpu.params import Parameters
+    from star_tpu.run import align_reads
+    prefix = str(tmp_path) + "/"
+    P = Parameters(["--genomeDir", os.path.join(GOLD, "genome_idx"),
+                    "--readFilesIn", os.path.join(DATA, "reads_chim.fastq"),
+                    "--chimSegmentMin", "20",
+                    "--chimOutType", "SeparateSAMold",
+                    "--outSAMunmapped", "Within",
+                    "--outFileNamePrefix", prefix])
+    align_reads(P, use_device=False)
+    strip = lambda p: [l for l in open(p)
+                       if not l.startswith(("@PG", "@CO"))]
+    assert strip(prefix + "Chimeric.out.sam") == strip(os.path.join(
+        GOLD, "chim_samold", "Chimeric.out.sam"))
