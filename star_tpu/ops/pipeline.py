@@ -288,11 +288,19 @@ class DeviceAligner:
         as batched device rounds with host-side chain compaction: each round
         dispatches only the chains still alive (actives collapse ~3x/round).
         The read matrix is uploaded once per batch; rounds ship only int32
-        descriptors per lane (the host->device link is the bottleneck)."""
+        descriptors per lane (the host->device link is the bottleneck).
+
+        Sparse suffix arrays (--genomeSAsparseD > 1): every round probes D
+        phase offsets per chain (reference
+        ReadAlign_maxMappableLength2strands.cpp:18-113); the chain advances
+        by the best maxL + offset, and all offset-winning probes are stored.
+        Returns (oml, onr, olo, ohi [NC, MAXP, D], max_best [NC, MAXP],
+        nprobes [NC])."""
         NC = len(c_read)
         QL = self._ql
         P = self.P
         fast = self.seed_round_budgeted
+        D = int(getattr(self.gi, "sa_sparse_d", 1)) if fast else 1
         if fast:
             rmp = np.full((read_mat.shape[0], QL), -1, np.int8)
             rmp[:, :read_mat.shape[1]] = read_mat
@@ -304,11 +312,13 @@ class DeviceAligner:
 
         l_mapped = np.zeros(NC, dtype=np.int32)
         active = c_istl + P.seedMapMin < c_plen
-        oml = np.zeros((NC, MAXP), dtype=np.int32)
-        onr = np.zeros((NC, MAXP), dtype=np.int32)
-        olo = np.zeros((NC, MAXP), dtype=np.int32)
-        ohi = np.zeros((NC, MAXP), dtype=np.int32)
+        oml = np.zeros((NC, MAXP, D), dtype=np.int32)
+        onr = np.zeros((NC, MAXP, D), dtype=np.int32)
+        olo = np.zeros((NC, MAXP, D), dtype=np.int32)
+        ohi = np.zeros((NC, MAXP, D), dtype=np.int32)
+        mbest = np.zeros((NC, MAXP), dtype=np.int32)
         nprobes = np.zeros(NC, dtype=np.int32)
+        dists = np.arange(D, dtype=np.int32)
 
         for k in range(MAXP):
             idx = np.nonzero(active)[0]
@@ -316,36 +326,48 @@ class DeviceAligner:
                 break
             offs = c_istl[idx] + l_mapped[idx]
             slen = c_plen[idx] - l_mapped[idx] - c_istl[idx]
-            maxl = np.empty(len(idx), dtype=np.int32)
+            A = len(idx)
+            # expand to A*D probe lanes (chain-major, offset-minor)
+            idx_e = np.repeat(idx, D)
+            offs_e = np.repeat(offs, D)
+            slen_e = np.repeat(slen, D) - np.tile(dists, A)
+            dist_e = np.tile(dists, A)
+            maxl = np.empty(A * D, dtype=np.int32)
             nrep = np.empty_like(maxl)
             lo = np.empty_like(maxl)
             hi = np.empty_like(maxl)
             W = self.LANE_BUCKETS[-1]
-            for w0 in range(0, len(idx), W):
-                w1 = min(w0 + W, len(idx))
-                sl = idx[w0:w1]
+            for w0 in range(0, A * D, W):
+                w1 = min(w0 + W, A * D)
+                sl = idx_e[w0:w1]
                 if fast:
+                    adv = offs_e[w0:w1] + dist_e[w0:w1]
                     start = np.where(
-                        c_dir[sl] == 0, c_pstart[sl] + offs[w0:w1],
-                        c_pstart[sl] + c_plen[sl] - 1 - offs[w0:w1]
-                    ).astype(np.int32)
+                        c_dir[sl] == 0, c_pstart[sl] + adv,
+                        c_pstart[sl] + c_plen[sl] - 1 - adv).astype(np.int32)
                     r = self._dispatch(rm_dev, c_read[sl], start,
                                        c_dir[sl].astype(np.int32),
-                                       slen[w0:w1], w1 - w0,
+                                       slen_e[w0:w1], w1 - w0,
                                        budget=self.PRIMARY_BUDGET)
                 else:
-                    r = self._dispatch_sharded(chainview[sl], offs[w0:w1],
-                                               slen[w0:w1], w1 - w0)
+                    r = self._dispatch_sharded(chainview[sl], offs_e[w0:w1],
+                                               slen_e[w0:w1], w1 - w0)
                 maxl[w0:w1], nrep[w0:w1], lo[w0:w1], hi[w0:w1] = r
+            maxl = maxl.reshape(A, D)
+            val = dists[None, :] < slen[:, None]
+            maxl = np.where(val, maxl, 0)
+            mb = np.where(val, maxl + dists[None, :],
+                          -1).max(axis=1).astype(np.int32)
             oml[idx, k] = maxl
-            onr[idx, k] = nrep
-            olo[idx, k] = lo
-            ohi[idx, k] = hi
+            onr[idx, k] = nrep.reshape(A, D)
+            olo[idx, k] = lo.reshape(A, D)
+            ohi[idx, k] = hi.reshape(A, D)
+            mbest[idx, k] = mb
             nprobes[idx] += 1
-            l_mapped[idx] += maxl
-            active[idx] = (maxl > 0) & \
+            l_mapped[idx] += mb
+            active[idx] = (mb > 0) & \
                 (c_istl[idx] + l_mapped[idx] + P.seedMapMin < c_plen[idx])
-        return oml, onr, olo, ohi, nprobes
+        return oml, onr, olo, ohi, mbest, nprobes
 
 
 def _empty_seed_arrays():
@@ -367,7 +389,7 @@ def _replay_store_aligns(P, n_reads, c_read, c_pstart, c_plen, c_dir,
              for _ in range(n_reads)]
     if probes is None:
         return seeds, _empty_seed_arrays()
-    oml, onr, olo, ohi, nprobes = probes
+    oml, onr, olo, ohi, mbest, nprobes = probes
     NC = len(c_read)
     if NC == 0:
         return seeds, _empty_seed_arrays()
@@ -379,14 +401,26 @@ def _replay_store_aligns(P, n_reads, c_read, c_pstart, c_plen, c_dir,
     k = np.arange(np_max)
     keep = k[None, :] < nprobes[:, None]              # [NC, np_max]
     ci, ki = np.nonzero(keep)
-    maxl = oml[ci, ki]
-    nrep = onr[ci, ki]
-    lo = olo[ci, ki]
-    hi = ohi[ci, ki]
-    # per-probe shift: origin + direction * (istart_l + l_mapped before probe)
-    lm_before = np.zeros_like(oml[:, :np_max])
-    lm_before[:, 1:] = np.cumsum(oml[:, :np_max - 1], axis=1)
-    adv = c_istl[ci] + lm_before[ci, ki]
+    # chain advance per round is the best (maxL + offset); lm_before gives
+    # each round's start within the piece
+    lm_before = np.zeros_like(mbest[:, :np_max])
+    lm_before[:, 1:] = np.cumsum(mbest[:, :np_max - 1], axis=1)
+    # sparse phase offsets: every offset-winning probe of a round is stored
+    # (reference maxMappableLength2strands.cpp:18-113); offsets past the
+    # remaining seed length were never probed
+    D = oml.shape[2]
+    dists = np.arange(D, dtype=np.int64)
+    slen_r = c_plen[ci] - c_istl[ci] - lm_before[ci, ki]
+    win = (dists[None, :] < slen_r[:, None]) \
+        & (oml[ci, ki] + dists[None, :] == mbest[ci, ki][:, None])
+    pi, di_ = np.nonzero(win)     # round-major, offset-minor (storeAligns order)
+    ci = ci[pi]
+    ki = ki[pi]
+    maxl = oml[ci, ki, di_]
+    nrep = onr[ci, ki, di_]
+    lo = olo[ci, ki, di_]
+    hi = ohi[ci, ki, di_]
+    adv = c_istl[ci] + lm_before[ci, ki] + di_
     shift = np.where(c_dir[ci] == 0,
                      c_pstart[ci] + adv,
                      c_pstart[ci] + c_plen[ci] - 1 - adv)
@@ -400,7 +434,7 @@ def _replay_store_aligns(P, n_reads, c_read, c_pstart, c_plen, c_dir,
     is_d0i0 = (c_dir == 0) & (c_istl == 0)
     first_full = np.zeros(NC, dtype=bool)
     first_full[is_d0i0] = (nprobes[is_d0i0] > 0) & \
-        (c_pstart[is_d0i0] + oml[is_d0i0, 0] == c_plen[is_d0i0])
+        (c_pstart[is_d0i0] + mbest[is_d0i0, 0] == c_plen[is_d0i0])
     piece_key = c_read.astype(np.int64) * (c_piece.max() + 1) + c_piece
     full_by_piece = {}
     for c in np.nonzero(is_d0i0 & first_full)[0]:

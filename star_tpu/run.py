@@ -306,9 +306,9 @@ def _run_mapping(P: Parameters, gi: GenomeIndex, use_device=None) -> RunStats:
 
     if use_device is None:
         use_device = bool(P.tpuUseDevice)
-    if gi.sa_sparse_d > 1:
-        # the device seed loop implements the dense search; sparse indexes
-        # take the host path (phase-offset probes, align/seed.py)
+    if gi.sa_sparse_d > 1 and getattr(P, "tpuShardedIndex", 0):
+        # the sharded kernel does not implement phase-offset probes yet;
+        # the single-chip device path does (ops/pipeline.py _run_chains)
         use_device = False
 
     by_sjout = P.outFilterBySJoutStage == 1

@@ -62,7 +62,7 @@ def test_sparse_index_matches_reference():
     ("se_sp2", ["reads_se.fastq"]),
     ("pe_sp2", ["reads_pe_1.fastq", "reads_pe_2.fastq"]),
 ])
-def test_sparse_align_golden(tmp_path, sub, reads):
+def test_sparse_align_golden(tmp_path, sub, reads, use_device):
     """alignment against a sparse suffix array: phase-offset MMP search
     (reference ReadAlign_maxMappableLength2strands.cpp:18-113) must give
     byte-identical SAM + SJ vs the reference run on the same sparse index"""
@@ -73,7 +73,7 @@ def test_sparse_align_golden(tmp_path, sub, reads):
                     "--readFilesIn"] + [os.path.join(DATA, r) for r in reads]
                    + ["--outFileNamePrefix", prefix,
                       "--outSAMunmapped", "Within"])
-    align_reads(P)
+    align_reads(P, use_device=use_device)
     got = [l for l in open(prefix + "Aligned.out.sam") if not l.startswith("@")]
     want = [l for l in open(os.path.join(GOLD, sub, "Aligned.out.sam"))
             if not l.startswith("@")]
