@@ -46,6 +46,10 @@ def solo_attr_value(attr: str, res, i_tr: int, P):
         if bar is None:
             return None
         return bar[("CR", "CY", "UR", "UY").index(attr)]
+    if attr == "CB":
+        # corrected CB emitted at alignment time only when defined
+        # (CB_samTagOut; reference alignBAM.cpp:469)
+        return getattr(res, "cb_corrected", None)
     if attr not in ("GX", "GN", "gx", "gn"):
         return None
     trm = getattr(P, "_solo_trm", None)

@@ -445,6 +445,16 @@ class Parameters:
                 "requires output to BAM file\nSOLUTION: re-run STAR with "
                 "--waspOutputMode ... and --outSAMtype BAM ... ")
         self.outSAMattrCBUB = "CB" in attrs or "UB" in attrs
+        if self.soloType[0] == "CB_samTagOut":
+            # corrected CB is emitted at alignment time, any BAM output
+            # (reference ParametersSolo.cpp:405-416)
+            if "UB" in attrs:
+                raise SystemExit(
+                    "EXITING because of fatal PARAMETERS error: UB attribute "
+                    "(corrected UMI) in --outSAMattributes cannot be used "
+                    "with --soloType CB_samTagOut\nSOLUTION: remove UB from "
+                    "--outSAMattributes")
+            self.outSAMattrCBUB = False
         if self.outSAMattrCBUB and "SortedByCoordinate" not in self.outSAMtype:
             raise SystemExit(
                 "EXITING because of fatal PARAMETERS error: CB and/or UB "

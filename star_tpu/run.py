@@ -315,6 +315,19 @@ def _run_mapping(P: Parameters, gi: GenomeIndex, use_device=None) -> RunStats:
     held = []
 
     solo = None
+    cb_tag_bc = None
+    if P.soloTypeYes and P.soloType[0] == "CB_samTagOut":
+        # barcode extraction + corrected-CB SAM tag, no counting
+        # (reference Solo.cpp:13, SoloReadBarcode_getCBandUMI.cpp:311-328)
+        from .solo.solo import SoloBarcodes
+        if P.soloCBmatchWLtype not in ("Exact", "1MM"):
+            raise SystemExit(
+                "EXITING because of fatal PARAMETERS error: --soloCBmatchWLtype "
+                f"{P.soloCBmatchWLtype} does not work with --soloType "
+                "CB_samTagOut\nSOLUTION: use allowed option: use "
+                "--soloCBmatchWLtype Exact (exact matches only) OR 1MM (one "
+                "match with 1 mismatched base)")
+        cb_tag_bc = SoloBarcodes(P)
     if P.soloTypeYes and P.soloType[0] in ("CB_UMI_Simple", "CB_UMI_Complex",
                                            "SmartSeq"):
         from .quant.transcriptome import Transcriptome
@@ -341,6 +354,16 @@ def _run_mapping(P: Parameters, gi: GenomeIndex, use_device=None) -> RunStats:
                           getattr(res, "i_read_all", 0))
         elif solo is not None and P.soloType[0] == "SmartSeq":
             solo.add_read(res, "", "", getattr(res, "i_read_all", 0))
+        elif cb_tag_bc is not None:
+            b_seq, b_qual = res.solo_bc
+            cb_match, matches, _, parts = cb_tag_bc.get_cb_umi(
+                b_seq, b_qual, skip_umi=True)
+            res.solo_bar = parts
+            if cb_match in (0, 1):
+                res.cb_corrected = (cb_tag_bc.wl_str[matches[0][0]]
+                                    if cb_tag_bc.wl_yes else parts[0])
+            else:
+                res.cb_corrected = "-"
         # chimeric detection runs for every read with windows, including
         # reads failing the linear filters (reference: oneRead order)
         chim_recorded = False

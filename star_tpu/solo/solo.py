@@ -160,14 +160,18 @@ class SoloBarcodes:
         return match_cb_to_wl(cb_seq, cb_qual, self.wl,
                               self.mm1, self.mm1_multi, self.mm1_nbase)
 
-    def get_cb_umi(self, b_seq: str, b_qual: str):
-        """-> (cbMatch, matches, umi, (cbSeq, cbQual, umiSeq, umiQual))"""
+    def get_cb_umi(self, b_seq: str, b_qual: str, skip_umi: bool = False):
+        """-> (cbMatch, matches, umi, (cbSeq, cbQual, umiSeq, umiQual)).
+        skip_umi: CB_samTagOut extracts but never validates the UMI
+        (reference getCBandUMI.cpp:311-328)."""
         cb_seq = b_seq[self.cb_s:self.cb_s + self.cb_l]
         umi_seq = b_seq[self.umi_s:self.umi_s + self.umi_l]
         cb_qual = b_qual[self.cb_s:self.cb_s + self.cb_l]
         umi_qual = b_qual[self.umi_s:self.umi_s + self.umi_l]
         parts = (cb_seq, cb_qual, umi_seq, umi_qual)
         cb_match, matches = self.match(cb_seq, cb_qual)
+        if skip_umi:
+            return cb_match, matches, 0, parts
         umi_v, umi_pos_n = encode_bc(umi_seq)
         if umi_pos_n != -1:
             return -23, [], 0, parts

@@ -203,3 +203,42 @@ def test_smartseq_counting_golden(tmp_path):
         got = open(prefix + "Solo.out/" + rel).read()
         want = open(os.path.join(gold, rel)).read()
         assert got == want, rel
+
+
+def test_cb_samtagout_golden(tmp_path):
+    """--soloType CB_samTagOut: corrected CB tag at alignment time, no
+    counting (reference SoloReadBarcode_getCBandUMI.cpp:311-328)"""
+    import gzip
+    import os
+    import struct
+    from tests.conftest import DATA, GOLD
+    from star_tpu.params import Parameters
+    from star_tpu.run import align_reads
+    prefix = str(tmp_path) + "/"
+    P = Parameters(["--genomeDir", os.path.join(GOLD, "genome_idx_gtf"),
+                    "--readFilesIn", os.path.join(DATA, "solo_cdna.fastq"),
+                    os.path.join(DATA, "solo_bc.fastq"),
+                    "--soloType", "CB_samTagOut",
+                    "--soloCBwhitelist", os.path.join(DATA, "solo_wl.txt"),
+                    "--soloCBstart", "1", "--soloCBlen", "16",
+                    "--soloUMIstart", "17", "--soloUMIlen", "12",
+                    "--soloCBmatchWLtype", "1MM",
+                    "--outSAMattributes", "NH", "HI", "AS", "nM", "CR", "CY", "CB",
+                    "--outSAMtype", "BAM", "Unsorted",
+                    "--outSAMunmapped", "Within",
+                    "--outFileNamePrefix", prefix])
+    align_reads(P, use_device=False)
+
+    def body(p):
+        d = gzip.open(p, "rb").read()
+        lt = struct.unpack("<i", d[4:8])[0]
+        off = 8 + lt
+        nref = struct.unpack("<i", d[off:off + 4])[0]
+        off += 4
+        for _ in range(nref):
+            ln = struct.unpack("<i", d[off:off + 4])[0]
+            off += 4 + ln + 4
+        return d[off:]
+
+    assert body(prefix + "Aligned.out.bam") == body(
+        os.path.join(GOLD, "cb_samtag", "Aligned.out.bam"))
