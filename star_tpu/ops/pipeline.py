@@ -29,6 +29,30 @@ from .sa_search import DeviceIndex, make_mmp_fn
 
 MAXP = 64  # probes per chain cap (matches the round-1 64-round cap)
 
+# per-phase wall-clock accumulators, enabled with STAR_TPU_TIMING=1
+import collections as _collections
+import os as _os
+import time as _time
+TIMING = bool(_os.environ.get("STAR_TPU_TIMING"))
+TIMERS = _collections.defaultdict(float)
+
+
+class _tick:
+    def __init__(self, key):
+        self.key = key
+
+    def __enter__(self):
+        if TIMING:
+            self.t0 = _time.time()
+
+    def __exit__(self, *a):
+        if TIMING:
+            TIMERS[self.key] += _time.time() - self.t0
+
+
+def timing_report() -> str:
+    return " ".join(f"{k}={v:.2f}s" for k, v in sorted(TIMERS.items()))
+
 
 def _shift_rows(x, s):
     """x[i, s_i:] left-shifted into column 0, -1 fill (barrel shifter)"""
@@ -134,11 +158,12 @@ class DeviceAligner:
 
     def _align_batch(self, batch, stats) -> Iterator[ReadResult]:
         P = self.P
-        prepped = []
-        for name, seqs, quals, ftype in batch:
-            res, reads = self.host.prepare_read(name, seqs, quals)
-            res.read_file_type = ftype
-            prepped.append((res, reads))
+        with _tick("prepare"):
+            prepped = []
+            for name, seqs, quals, ftype in batch:
+                res, reads = self.host.prepare_read(name, seqs, quals)
+                res.read_file_type = ftype
+                prepped.append((res, reads))
         lmax = max(r.lread for r, _ in prepped)
         self._ensure_kernel(lmax)
 
@@ -175,18 +200,22 @@ class DeviceAligner:
         NC = len(c_read)
         probes = None
         if NC:
-            probes = self._run_chains(
-                read_mat,
+            with _tick("seed_loop"):
+                probes = self._run_chains(
+                    read_mat,
+                    np.asarray(c_read, np.int32),
+                    np.asarray(c_pstart, np.int32),
+                    np.asarray(c_plen, np.int32),
+                    np.asarray(c_dir, np.int32),
+                    np.asarray(c_istl, np.int32))
+
+        with _tick("replay"):
+            seeds_by_read, seed_flat = _replay_store_aligns(
+                P, R,
                 np.asarray(c_read, np.int32), np.asarray(c_pstart, np.int32),
                 np.asarray(c_plen, np.int32), np.asarray(c_dir, np.int32),
-                np.asarray(c_istl, np.int32))
-
-        seeds_by_read, seed_flat = _replay_store_aligns(
-            P, R,
-            np.asarray(c_read, np.int32), np.asarray(c_pstart, np.int32),
-            np.asarray(c_plen, np.int32), np.asarray(c_dir, np.int32),
-            np.asarray(c_istl, np.int32), np.asarray(c_ifrag, np.int32),
-            np.asarray(c_piece, np.int32), probes)
+                np.asarray(c_istl, np.int32), np.asarray(c_ifrag, np.int32),
+                np.asarray(c_piece, np.int32), probes)
 
         # ---- batched windows + stitch + extend (ops/batch_engine.py);
         # per-read host fallback for shapes outside the static envelope
@@ -207,18 +236,22 @@ class DeviceAligner:
             rcv = np.take_along_axis(read_mat, src, axis=1)
             rc = np.where(k[None, :] < lread[:, None],
                           np.where(rcv < 4, 3 - rcv, rcv), -1).astype(np.uint8)
-            fb, results = be.stitch_batch(self.gi, P, seed_flat, fwd, rc,
-                                          lread, read_len2, nmm_max)
+            with _tick("stitch_batch"):
+                fb, results = be.stitch_batch(self.gi, P, seed_flat, fwd, rc,
+                                              lread, read_len2, nmm_max)
 
-        for i, (res, reads) in enumerate(prepped):
-            pieces, lgood = per_read_pieces[i]
-            seeds = seeds_by_read[i]
-            seeds.max_good_piece = lgood
-            seeds.n_split = len(pieces)
-            pre = results.get(i) if not fb[i] else None
-            out = self.host.finish_read(res, reads, seeds, precomputed=pre)
-            stats.add_read(out)
-            yield out
+        with _tick("finish"):
+            outs = []
+            for i, (res, reads) in enumerate(prepped):
+                pieces, lgood = per_read_pieces[i]
+                seeds = seeds_by_read[i]
+                seeds.max_good_piece = lgood
+                seeds.n_split = len(pieces)
+                pre = results.get(i) if not fb[i] else None
+                out = self.host.finish_read(res, reads, seeds, precomputed=pre)
+                stats.add_read(out)
+                outs.append(out)
+        yield from outs
 
     # fixed lane buckets: compiles happen once per shape and the
     # persistent cache stays hot

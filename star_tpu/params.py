@@ -251,6 +251,7 @@ class Parameters:
     def __init__(self, argv: Optional[List[str]] = None, **overrides):
         for d in _DEFS:
             setattr(self, d.name, d.default if not isinstance(d.default, list) else list(d.default))
+        self._user_set: List[str] = []   # user-redefined flags, input order
         if argv:
             self._parse_argv(argv)
         for k, v in overrides.items():
@@ -280,6 +281,8 @@ class Parameters:
                     self._parse_file(fn)
         for name, vals in pending.items():
             self.set_flag(name, vals)
+            if name not in self._user_set:
+                self._user_set.append(name)
 
     def _parse_file(self, path: str):
         with open(path) as f:

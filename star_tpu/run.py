@@ -582,6 +582,12 @@ class _SamSink:
             self.f = None
 
 
+def _fmt_par(v):
+    if isinstance(v, (list, tuple)):
+        return "   ".join(str(x) for x in v)
+    return str(v)
+
+
 class _LogOut:
     """main run log (reference: Log.out, InOutStreams.h logMain)"""
 
@@ -592,12 +598,29 @@ class _LogOut:
             self.f = None
             return
         from . import __version__
-        self.f.write(f"STAR version={__version__} (star-tpu)\n")
-        self.f.write("##### Command Line:\n" + " ".join(sys.argv) + "\n")
-        self.f.write("##### Final effective command line:\n")
-        self.f.write(f"   genomeDir {P.genomeDir}\n")
-        self.f.write(f"   readFilesIn {' '.join(P.readFilesIn)}\n")
-        self.f.write(f"   outFileNamePrefix {P.outFileNamePrefix}\n")
+        from .params import DEFS_BY_NAME
+        w = self.f.write
+        w(f"STAR version={__version__} (star-tpu)\n")
+        w("##### Command Line:\n" + " ".join(sys.argv) + "\n")
+        user = [n for n in getattr(P, "_user_set", []) if n in DEFS_BY_NAME]
+        w("###### All USER parameters from Command Line:\n")
+        for n in user:
+            w(f"{n:<30}{_fmt_par(getattr(P, n))}     ~RE-DEFINED\n")
+        w("##### Finished reading parameters from all sources\n\n")
+        w("##### Final user re-defined parameters-----------------:\n")
+        for n in user:
+            w(f"{n:<34}{_fmt_par(getattr(P, n))}\n")
+        w("\n##### Final parameters after user input--------------------------------:\n")
+        for n in DEFS_BY_NAME:
+            try:
+                w(f"{n:<34}{_fmt_par(getattr(P, n))}\n")
+            except Exception:
+                pass
+        w("-------------------------------\n")
+        w("##### Final effective command line:\n")
+        w(" ".join([sys.argv[0] if sys.argv else "star-tpu"]
+                   + [f"--{n} {_fmt_par(getattr(P, n))}" for n in user]) + "\n")
+        w("----------------------------------------\n")
         self.f.flush()
 
     def line(self, msg: str):
