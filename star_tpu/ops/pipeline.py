@@ -277,7 +277,7 @@ class DeviceAligner:
         self._ensure_kernel(max_read_len)
         if not self.seed_round_budgeted:
             return
-        rm = jax.device_put(np.full((1, self._ql), -1, np.int8))
+        rm = jax.device_put(np.full((self.batch_size, self._ql), -1, np.int8))
         for b in self.LANE_BUCKETS:
             z = np.zeros(b, np.int32)
             self._dispatch(rm, z, z, z, z, b, budget=self.PRIMARY_BUDGET)
@@ -335,8 +335,12 @@ class DeviceAligner:
         fast = self.seed_round_budgeted
         D = int(getattr(self.gi, "sa_sparse_d", 1)) if fast else 1
         if fast:
-            rmp = np.full((read_mat.shape[0], QL), -1, np.int8)
-            rmp[:, :read_mat.shape[1]] = read_mat
+            # pad the read count to the batch-size bucket: the jitted round is
+            # shape-keyed on the read matrix, and a partial final batch must
+            # NOT trigger a fresh (minutes-long) remote compile
+            Rp = max(self.batch_size, read_mat.shape[0])
+            rmp = np.full((Rp, QL), -1, np.int8)
+            rmp[:read_mat.shape[0], :read_mat.shape[1]] = read_mat
             rm_dev = jax.device_put(rmp)
         else:
             shift0 = np.where(c_dir == 0, c_pstart, c_pstart + c_plen - 1)
