@@ -225,6 +225,7 @@ _DEFS: List[ParamDef] = [d for d in [
     ParamDef("soloCBwhitelist", "str_list", ["-"]),
     ParamDef("soloFeatures", "str_list", ["Gene"]),
     ParamDef("soloCellFilter", "str_list", ["CellRanger2.2", "3000", "0.99", "10"]),
+    ParamDef("soloClusterCBfile", "str", "-"),
     ParamDef("soloUMIdedup", "str_list", ["1MM_All"]),
     ParamDef("soloCBmatchWLtype", "str", "1MM_multi"),
     ParamDef("soloStrand", "str", "Forward"),

@@ -19,8 +19,9 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from .annotate import (FT_GENE, FT_GENEFULL, FT_GENEFULL_EXONOVERINTRON,
-                       FT_GENEFULL_EX50PAS, FT_SJ, FT_VELOCYTO,
-                       FEATURE_DIRNAMES, ReadAnnot, extract_splice_junctions)
+                       FT_GENEFULL_EX50PAS, FT_SJ, FT_TRANSCRIPT3P,
+                       FT_VELOCYTO, FEATURE_DIRNAMES, ReadAnnot,
+                       extract_splice_junctions)
 from .collapse import (DedupConf, GENE_MULT_MARK, UMI_MARK_NO, collapse_cb)
 
 FEAT_STATS = ["noUnmapped", "noNoFeature", "MultiFeature",
@@ -66,6 +67,9 @@ class SoloReadFeature:
         self.stats = dict.fromkeys(FEAT_STATS, 0)
         self.cb_read_count = np.zeros(wl_size, dtype=np.int64)
         self.records: List[tuple] = []   # mirrors the per-thread temp file
+        self.t3p_records: List[tuple] = []   # Transcript3p (cb, umi, [(tr,d)])
+        self.transcript_dist_count = np.zeros(10000, dtype=np.int64) \
+            if feature_type == FT_TRANSCRIPT3P else None
         self.flag_counts_no_cb = [0] * N_BITS
         self.mito_chrs = {"chrM", "M", "MT", "chrMT"}
 
@@ -159,6 +163,17 @@ class SoloReadFeature:
                         out.append((umi, i_read if self.read_index_yes else None,
                                     flag, s, cb_match, matches))
                     n_feat = len(sj)
+        elif ft == FT_TRANSCRIPT3P:
+            tc = annot.transcript_concordant
+            if len(tc) == 0 or cb_match > 1:
+                self.stats["noNoFeature"] += 1
+            else:
+                self.t3p_records.append((matches[0][0], umi, list(tc)))
+                n_feat = 1
+            if (len(tc) == 1
+                    and tc[0][1] < len(self.transcript_dist_count)):
+                # unique-transcript reads feed the 3'-distance distribution
+                self.transcript_dist_count[tc[0][1]] += 1
         elif ft == FT_VELOCYTO:
             if annot.tr_velocyto:
                 tv = sorted(annot.tr_velocyto, key=lambda t: t[0])
@@ -388,6 +403,186 @@ class SoloFeatureProc:
         stats["yesWLmatch"] += int(n_read.sum())
         stats["yessubWLmatch_UniqueFeature"] += int(n_read.sum())
         stats["yessubWLmatchExact"] = stats["yesWLmatch"]
+
+
+    def quant_transcript(self, out_prefix: str, P):
+        """Transcript3p quantification: 3'-distance-weighted EM over cell
+        clusters (reference SoloFeature_quantTranscript.cpp).  Requires
+        --soloClusterCBfile; float evaluation order follows the reference
+        (libstdc++ unordered_map node order) for identical output."""
+        import math
+        from ..utils.stdhash import UnorderedMap
+        if P.soloClusterCBfile == "-":
+            return
+        trm = self.trm
+        n_tr = len(trm.tr_id)
+        # cluster file: CB sequence, cluster index
+        from .solo import encode_bc
+        cluster_cb = {}
+        cluster_ind = set()
+        with open(P.soloClusterCBfile) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) < 2:
+                    continue
+                v, pos_n = encode_bc(parts[0])
+                if pos_n != -1:
+                    continue
+                ind = int(np.searchsorted(self.bc.wl, v))
+                if ind < len(self.bc.wl) and self.bc.wl[ind] == v:
+                    cluster_cb[ind] = int(parts[1])
+                    cluster_ind.add(int(parts[1]))
+
+        # distance distribution function: running average, cut at the first
+        # minimum past the maximum after index 1000, normalize, log
+        cnt = self.rf.transcript_dist_count
+        n_cnt = len(cnt)
+        fun = [0.0] * n_cnt
+        aver_n, aver_start = 50, 0
+        for ii in range(aver_start, n_cnt - aver_n - 1):
+            a = max(aver_start, ii - aver_n)
+            b = ii + aver_n + 1
+            fun[ii] = float(int(cnt[a:b].sum())) / min(2 * aver_n + 1,
+                                                       ii - aver_start + aver_n)
+        imax = 1000
+        while fun[imax + 1] > fun[imax]:
+            imax += 1
+        while fun[imax + 1] < fun[imax]:
+            imax += 1
+        fun = fun[:imax]
+        norm1 = 0.0
+        for ff in fun:
+            norm1 += ff
+        with open(out_prefix + "transcriptEndDistanceDistribution.txt", "w") as f:
+            for i in range(len(fun)):
+                # C++ double division: 0/0 = nan, x/0 = inf
+                if norm1 == 0.0:
+                    fun[i] = float("nan") if fun[i] == 0.0 else float("inf")
+                else:
+                    fun[i] = fun[i] / norm1
+                f.write(fmt_g(fun[i]) + "\n")
+        cum = [0.0] * len(fun)
+        acc = 0.0
+        for i, ff in enumerate(fun):
+            acc += ff
+            cum[i] = acc
+        factor = [0.0] * n_tr
+        for i in range(n_tr):
+            tl = int(trm.tr_length[i])
+            if tl < len(cum):
+                factor[i] = -math.log(cum[tl - 1])
+        fun = [math.log(ff) if ff > 0 else float("-inf") for ff in fun]
+
+        # input records -> per-cluster unordered_map<umi, [(tr, d)]>
+        map_tr_dist = {}
+        for (cb, umi, tc) in self.rf.t3p_records:
+            if cb not in cluster_cb:
+                continue
+            key = (int(umi) + (int(cb) << 32)) & ((1 << 64) - 1)
+            cl = cluster_cb[cb]
+            td = []
+            for (tr, d) in tc:
+                if d >= len(fun):
+                    continue
+                td.append((int(tr), fun[d] + factor[tr]))
+            if not td:
+                continue
+            td.sort(key=lambda t: t[0])
+            if cl not in map_tr_dist:
+                map_tr_dist[cl] = UnorderedMap()
+            m = map_tr_dist[cl]
+            node = m.find(key)
+            if node is None:
+                m.insert(key, td)
+                continue
+            old = node.val
+            inew = 0
+            td1 = []
+            for (otr, od) in old:
+                while inew < len(td) and otr > td[inew][0]:
+                    inew += 1
+                if inew == len(td):
+                    break
+                if otr == td[inew][0]:
+                    td1.append((otr, od + td[inew][1]))
+            node.val = td1
+
+        cluster_expr = {}
+        for cl in sorted(map_tr_dist):
+            entries = [(k, v) for k, v in map_tr_dist[cl].items()]
+            tr_unique = [0.0] * n_tr
+            tr_initial = [0.0] * n_tr
+            n_umi_tot = 0
+            em = []    # multi-transcript UMIs in node order
+            for key, td in entries:
+                if len(td) == 0:
+                    continue
+                if len(td) == 1:
+                    tr_unique[td[0][0]] += 1
+                    tr_initial[td[0][0]] += 1.0
+                    n_umi_tot += 1
+                    continue
+                max1 = max(d for _, d in td)
+                td2 = []
+                for (tr, d) in td:
+                    tr_initial[tr] += 1.0 / len(td)
+                    td2.append((tr, math.exp(d - max1)))
+                em.append(td2)
+                n_umi_tot += 1
+
+            th_old = list(tr_initial)
+            th_new = [0.0] * n_tr
+            converged = [False] * n_tr
+            for _it in range(10000):
+                th_new[:] = tr_unique
+                for td in em:
+                    denom1 = 0.0
+                    for (tr, d) in td:
+                        denom1 += d * th_old[tr]
+                    for (tr, d) in td:
+                        if not converged[tr]:
+                            th_new[tr] += d * th_old[tr] / denom1
+                diff_max_thr = 1e-5
+                diff_one_thr = diff_max_thr * 0.1
+                expr_thr = 1e-8 * n_umi_tot
+                diff_max = 0.0
+                for itr in range(n_tr):
+                    if converged[itr] or th_old[itr] == 0:
+                        continue
+                    diff1 = abs(th_new[itr] - th_old[itr]) / th_old[itr]
+                    diff_max = max(diff_max, diff1)
+                    if th_new[itr] < expr_thr:
+                        converged[itr] = True
+                        tr_unique[itr] = 0
+                    if diff1 < diff_one_thr:
+                        converged[itr] = True
+                        tr_unique[itr] = th_new[itr]
+                if diff_max < diff_max_thr:
+                    break
+                th_old, th_new = th_new, th_old
+            th_out = th_new
+            norm1 = 0.0
+            for itr in range(n_tr):
+                th_out[itr] *= math.exp(factor[itr])
+                norm1 += th_out[itr]
+            norm1 = n_umi_tot / norm1 if norm1 else 0.0
+            for itr in range(n_tr):
+                th_out[itr] *= norm1
+            cluster_expr[cl] = list(th_out)
+
+        with open(out_prefix + "matrix.mtx", "w") as f:
+            f.write("%%MatrixMarket matrix coordinate real general\n%\n")
+            n_entries = sum(1 for v in cluster_expr.values() for x in v if x > 0)
+            f.write(f"{n_tr} {max(cluster_ind) if cluster_ind else 0} "
+                    f"{n_entries}\n")
+            for cl in sorted(cluster_expr):
+                for i, x in enumerate(cluster_expr[cl]):
+                    if x > 0:
+                        f.write(f"{i + 1} {cl} {fmt_g(x)}\n")
+        with open(out_prefix + "features.tsv", "w") as f:
+            for i in range(n_tr):
+                f.write(f"{trm.tr_id[i]}\t{int(trm.tr_length[i])}\t"
+                        f"{trm.gene_name[int(trm.tr_gene[i])]}\n")
 
     @staticmethod
     def _counts_add(flag_counts, cb, flag):

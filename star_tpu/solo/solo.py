@@ -17,9 +17,9 @@ import numpy as np
 
 from .annotate import (FEATURE_NAMES, FEATURE_DIRNAMES, FT_GENE, FT_GENEFULL,
                        FT_GENEFULL_EXONOVERINTRON, FT_GENEFULL_EX50PAS, FT_SJ,
-                       FT_VELOCYTO, ReadAnnot, align_exon_overlap,
-                       classify_align, gene_full_exon_over_intron,
-                       gene_full_overlap)
+                       FT_TRANSCRIPT3P, FT_VELOCYTO, ReadAnnot,
+                       align_exon_overlap, classify_align,
+                       gene_full_exon_over_intron, gene_full_overlap)
 from .collapse import DedupConf
 from .feature import (GENEISH, SoloFeatureProc, SoloReadFeature, FEAT_STATS,
                       FLAG_NAMES, N_BITS, fmt_g)
@@ -623,7 +623,8 @@ class Solo:
         self.q30_bc = [0, 0]
         self.q30_rna = [0, 0]
         self.need_gene_annot = any(ft in (FT_GENE, FT_GENEFULL_EXONOVERINTRON,
-                                          FT_VELOCYTO) for ft in self.features)
+                                          FT_TRANSCRIPT3P, FT_VELOCYTO)
+                                   for ft in self.features)
         self.velocyto_yes = FT_VELOCYTO in self.features
         self.procs: Dict[int, SoloFeatureProc] = {}
 
@@ -707,6 +708,11 @@ class Solo:
             if ft == FT_SJ:
                 proc.sj_all = sj_all
             proc.sum_threads()
+            if ft == FT_TRANSCRIPT3P:
+                # Transcript3p: EM quantification only, no stats/raw/filtered
+                # outputs (reference SoloFeature_processRecords.cpp:47-49)
+                proc.quant_transcript(prefix, P)
+                continue
             if ft == FT_VELOCYTO:
                 proc.count_velocyto(self.procs[FT_GENE])
             elif self.smart_seq:

@@ -242,3 +242,32 @@ def test_cb_samtagout_golden(tmp_path):
 
     assert body(prefix + "Aligned.out.bam") == body(
         os.path.join(GOLD, "cb_samtag", "Aligned.out.bam"))
+
+
+def test_transcript3p_quant_golden(tmp_path):
+    """--soloFeatures Transcript3p: 3'-distance-weighted EM quantification
+    per cell cluster (reference SoloFeature_quantTranscript.cpp)"""
+    import os
+    from star_tpu.params import Parameters
+    from star_tpu.run import align_reads
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    s3 = os.path.join(root, "tests")
+    prefix = str(tmp_path) + "/"
+    P = Parameters(["--genomeDir", os.path.join(s3, "golden", "solo3", "idx"),
+                    "--readFilesIn", os.path.join(s3, "data", "solo3", "cdna.fastq"),
+                    os.path.join(s3, "data", "solo3", "bc.fastq"),
+                    "--soloType", "CB_UMI_Simple",
+                    "--soloCBwhitelist", os.path.join(s3, "data", "solo3", "wl.txt"),
+                    "--soloCBstart", "1", "--soloCBlen", "16",
+                    "--soloUMIstart", "17", "--soloUMIlen", "12",
+                    "--soloFeatures", "Gene", "Transcript3p",
+                    "--soloCellFilter", "None",
+                    "--soloClusterCBfile",
+                    os.path.join(s3, "data", "solo3", "clusters.tsv"),
+                    "--outSAMtype", "None", "--outFileNamePrefix", prefix])
+    align_reads(P, use_device=False)
+    for f in ("matrix.mtx", "features.tsv",
+              "transcriptEndDistanceDistribution.txt"):
+        got = open(prefix + "Solo.out/Transcript3p/" + f).read()
+        want = open(os.path.join(s3, "golden", "solo3", "tr3p", f)).read()
+        assert got == want, f
