@@ -184,6 +184,12 @@ class ReadAligner:
                 self._finish_unmapped(res)
                 return res
 
+            if P.longReads:
+                # STARlong: coverage-based window selection + adjacent-seed
+                # merge (reference stitchPieces.cpp:202-257)
+                from .windows import long_window_coverage_filter
+                long_window_coverage_filter(ws, P)
+
             # ---- stitch: transcripts per window
             stitcher = WindowStitcher(gi, P, self)
             reads_b = (bytes(reads[0]), bytes(reads[2]))
@@ -200,9 +206,15 @@ class ReadAligner:
                 tr0.roStr = tr0.Str
                 if n_total + P.alignTranscriptsPerWindowNmax >= P.alignTranscriptsPerReadNmax:
                     break
-                win_tr = stitcher.stitch_window(
-                    ws.wa[iw], ws.w_last_anchor[iw], tr0, lread,
-                    reads_b[0] if tr0.roStr == 0 else reads_b[1])
+                if P.longReads:
+                    # seed-chain DP: one transcript per window (STARlong)
+                    win_tr = stitcher.stitch_window_seeds(
+                        ws.wa[iw], ws.w_last_anchor[iw], tr0, lread,
+                        reads_b[0] if tr0.roStr == 0 else reads_b[1])
+                else:
+                    win_tr = stitcher.stitch_window(
+                        ws.wa[iw], ws.w_last_anchor[iw], tr0, lread,
+                        reads_b[0] if tr0.roStr == 0 else reads_b[1])
                 if not win_tr:
                     continue
                 if (win_tr[0].maxScore > tr_best.maxScore

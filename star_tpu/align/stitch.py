@@ -106,7 +106,7 @@ def stitch_align_to_transcript(r_a_end, g_a_end, r_b_start, g_b_start, L,
                                n_mm_max_total) -> int:
     """stitch seed B onto the partial transcript; returns the score delta or a
     large negative rejection code."""
-    if tr.nExons >= MAX_N_EXONS:
+    if tr.nExons >= P.maxNExons:
         return -1000010
     G = gi.G_bytes
     score = 0
@@ -349,9 +349,12 @@ def stitch_align_to_transcript(r_a_end, g_a_end, r_b_start, g_b_start, L,
             score += insv * P.scoreInsBase + P.scoreInsOpen
             j_can = -2
 
-        # accept or reject the stitch
+        # accept or reject the stitch; the long-read build accepts on the
+        # mismatch budget alone (reference stitchAlignToTranscript.cpp:309-316,
+        # COMPILE_FOR_LONG_READS branch)
         if (tr.nMM + n_mm <= n_mm_max_total
-                and (j_can < 0 or (j_can < 7 and n_mm <= _sj_mm_max(P, j_can)))):
+                and (P.longReads or j_can < 0
+                     or (j_can < 7 and n_mm <= _sj_mm_max(P, j_can)))):
             tr.nMM += n_mm
             tr.nMatch += n_match
             if delv >= P.alignIntronMin:
@@ -390,7 +393,7 @@ def stitch_align_to_transcript(r_a_end, g_a_end, r_b_start, g_b_start, L,
             return -1000004
         score += SCORE_MATCH * L
         ext = extend_align(R, G, r_a_end + 1, g_a_end + 1, 1, 1,
-                           DEF_READ_SEQ_LENGTH_MAX, tr.nMatch, tr.nMM,
+                           P.readSeqLengthMax, tr.nMatch, tr.nMM,
                            n_mm_max_total, P.outFilterMismatchNoverLmax,
                            P.alignEndsTypeExt[tr.exons[last][3]][1])
         if ext.ok:
@@ -401,7 +404,7 @@ def stitch_align_to_transcript(r_a_end, g_a_end, r_b_start, g_b_start, L,
         tr.exons.append([r_b_start, g_b_start, L, i_frag_b, sj_ab])
         tr.nMatch += L
         ext = ExtendResult()
-        extlen = (DEF_READ_SEQ_LENGTH_MAX if P.alignEndsTypeExt[i_frag_b][1]
+        extlen = (P.readSeqLengthMax if P.alignEndsTypeExt[i_frag_b][1]
                   else g_b_start - tr.exons[0][1] + tr.exons[0][0])
         ext = extend_align(R, G, r_b_start - 1, g_b_start - 1, -1, -1,
                            extlen, tr.nMatch, tr.nMM, n_mm_max_total,
@@ -492,7 +495,7 @@ class WindowStitcher:
         # (same outcomes as the corresponding stitch rejection codes)
         if tr.nExons > 0:
             skip = False
-            if tr.nExons >= MAX_N_EXONS:
+            if tr.nExons >= self.P.maxNExons:
                 skip = True
             else:
                 last_frag = tr.exons[tr.nExons - 1][3]
@@ -754,3 +757,225 @@ class WindowStitcher:
 
     def _win_max_score(self):
         return self.win_tr[0].maxScore if self.win_tr else 0
+
+    # -- long-read seed-chain DP (STARlong) --------------------------------
+    def stitch_window_seeds(self, wa: List[list], w_last_anchor: int,
+                            tr0: Transcript, Lread: int, R) -> List[Transcript]:
+        """STARlong window stitching: O(n^2) seed-chain DP producing ONE
+        transcript per window (two with chimSegmentMin>0), replacing the
+        include/exclude recursion (reference: ReadAlign_stitchWindowSeeds.cpp:
+        12-278, compiled only under -DCOMPILE_FOR_LONG_READS and invoked from
+        ReadAlign_stitchPieces.cpp:299-318)."""
+        if w_last_anchor < len(wa):
+            wa[w_last_anchor][WA_Anchor] = 2
+        wa_incl = [False] * len(wa)
+        win_tr: List[Transcript] = []
+        tr1 = self._seed_chain_dp(wa, tr0, Lread, R, None, wa_incl)
+        if tr1 is not None:
+            win_tr.append(tr1)
+        if self.P.chimSegmentMin > 0 and tr1 is not None:
+            # mark all seeds overlapping the best transcript, then chain the
+            # remainder for the chimeric second segment
+            # (reference stitchPieces.cpp:301-318)
+            for ia in range(len(wa)):
+                if wa_incl[ia]:
+                    continue
+                for ex in tr1.exons:
+                    if (wa[ia][WA_rStart] < ex[0] + ex[2]
+                            and wa[ia][WA_rStart] + wa[ia][WA_Length] > ex[0]
+                            and wa[ia][WA_gStart] < ex[1] + ex[2]
+                            and wa[ia][WA_gStart] + wa[ia][WA_Length] > ex[1]):
+                        wa_incl[ia] = True
+                        break
+            tr2 = self._seed_chain_dp(wa, tr0, Lread, R, list(wa_incl), wa_incl)
+            if tr2 is not None:
+                win_tr.append(tr2)
+        return win_tr
+
+    def _seed_chain_dp(self, wa, tr0: Transcript, Lread: int, R,
+                       wa_excl, wa_incl) -> Optional[Transcript]:
+        P, gi, ra = self.P, self.gi, self.ra
+        G = gi.G_bytes
+        nA = len(wa)
+        nmm_max = ra.outFilterMismatchNmaxTotal
+        score_seed = [0] * nA   # scoreSeedBest
+        mm_seed = [0] * nA      # scoreSeedBestMM
+        ind_seed = [-1] * nA    # scoreSeedBestInd ((uint)-1 in the reference)
+
+        for iS1 in range(nA):
+            if wa_excl is not None and wa_excl[iS1]:
+                continue
+            r1, g1, L1 = wa[iS1][WA_rStart], wa[iS1][WA_gStart], wa[iS1][WA_Length]
+            for iS2 in range(iS1 + 1):
+                if iS2 < iS1:
+                    tr1 = Transcript()
+                    tr1.Lread = Lread
+                    tr1.nExons = 1
+                    tr1.nMM = mm_seed[iS2]
+                    tr1.exons = [[wa[iS2][WA_rStart], wa[iS2][WA_gStart],
+                                  wa[iS2][WA_Length], wa[iS2][WA_iFrag],
+                                  wa[iS2][WA_sjA]]]
+                    score2 = stitch_align_to_transcript(
+                        wa[iS2][WA_rStart] + wa[iS2][WA_Length] - 1,
+                        wa[iS2][WA_gStart] + wa[iS2][WA_Length] - 1,
+                        r1, g1, L1, wa[iS1][WA_iFrag], wa[iS1][WA_sjA],
+                        P, R, gi, tr1, nmm_max)
+                    if P.outFilterBySJoutStage == 2 and tr1.nExons > 1:
+                        # only the first junction is checked (reference
+                        # stitchWindowSeeds.cpp:47-55 quirk); a novel junction
+                        # outside the filtered set aborts the whole window
+                        if tr1.canonSJ and tr1.canonSJ[0] >= 0 and tr1.sjAnnot[0] == 0:
+                            jS = tr1.exons[0][1] + tr1.exons[0][2]
+                            jE = tr1.exons[1][1] - 1
+                            if not ra.sj_novel_contains(jS, jE):
+                                return None
+                    annot0 = tr1.sjAnnot[0] if tr1.sjAnnot else 0
+                    long_enough = tr1.exons[0][2] >= (
+                        P.alignSJDBoverhangMin if annot0 == 1 else P.alignSJoverhangMin)
+                    if (long_enough and score2 > 0
+                            and score2 + score_seed[iS2] > score_seed[iS1]):
+                        score_seed[iS1] = score2 + score_seed[iS2]
+                        mm_seed[iS1] = tr1.nMM
+                        ind_seed[iS1] = iS2
+                else:
+                    # self-case: extend to the left of the seed
+                    score2 = L1
+                    ext_len = 0
+                    if r1 > 0:
+                        ext = extend_align(R, G, r1 - 1, g1 - 1, -1, -1, r1,
+                                           100000, 0, nmm_max,
+                                           P.outFilterMismatchNoverLmax,
+                                           P.alignEndsTypeExt[wa[iS1][WA_iFrag]][tr0.Str])
+                        if ext.ok:
+                            score2 += ext.maxScore
+                            ext_len = ext.extendL
+                    if ((L1 + ext_len) >= P.alignSJoverhangMin
+                            and score2 > score_seed[iS1]):
+                        score_seed[iS1] = score2
+                        ind_seed[iS1] = iS1
+                        # the reference does not record nMM here
+
+        # best chain end: right-extend every seed (no wa_excl check, like the
+        # reference) and pick the highest chain score
+        score_best = 0
+        ind_best = 0
+        for iS1 in range(nA):
+            tR2 = wa[iS1][WA_rStart] + wa[iS1][WA_Length]
+            tG2 = wa[iS1][WA_gStart] + wa[iS1][WA_Length]
+            ext_len = 0
+            if tR2 < Lread - 1:
+                ext = extend_align(R, G, tR2, tG2, 1, 1, Lread - tR2,
+                                   100000, mm_seed[iS1], nmm_max,
+                                   P.outFilterMismatchNoverLmax,
+                                   P.alignEndsTypeExt[wa[iS1][WA_iFrag]][1 - tr0.Str])
+                if ext.ok:
+                    score_seed[iS1] += ext.maxScore
+                    ext_len = ext.extendL
+            if ((wa[iS1][WA_Length] + ext_len) >= P.alignSJoverhangMin
+                    and score_seed[iS1] > score_best):
+                score_best = score_seed[iS1]
+                ind_best = iS1
+
+        # reconstruct the chain (read-order: chain[0] is the last seed)
+        chain = []
+        cur = ind_best
+        while True:
+            chain.append(cur)
+            wa_incl[cur] = True
+            if ind_seed[cur] != -1 and cur > ind_seed[cur]:
+                cur = ind_seed[cur]
+            else:
+                break
+
+        # build the final transcript from the chain
+        tr = tr0.copy()
+        iS1 = chain[-1]
+        score = wa[iS1][WA_Length]
+        tr.maxScore = score
+        tr.nMatch = wa[iS1][WA_Length]
+        tr.nMM = 0
+        tr.exons = [[wa[iS1][WA_rStart], wa[iS1][WA_gStart], wa[iS1][WA_Length],
+                     wa[iS1][WA_iFrag], wa[iS1][WA_sjA]]]
+        tr.rStart = wa[iS1][WA_rStart]
+        tr.gStart = wa[iS1][WA_gStart]
+        tr.nExons = 1
+        for iSc in range(len(chain) - 1, 0, -1):
+            a, b = chain[iSc], chain[iSc - 1]
+            score += stitch_align_to_transcript(
+                wa[a][WA_rStart] + wa[a][WA_Length] - 1,
+                wa[a][WA_gStart] + wa[a][WA_Length] - 1,
+                wa[b][WA_rStart], wa[b][WA_gStart], wa[b][WA_Length],
+                wa[b][WA_iFrag], wa[b][WA_sjA], P, R, gi, tr, nmm_max)
+        tr.maxScore = score
+
+        # extend the chain ends
+        if tr.exons[0][0] > 0:
+            ext = extend_align(R, G, tr.exons[0][0] - 1, tr.exons[0][1] - 1,
+                               -1, -1, tr.exons[0][0], 100000, 0, nmm_max,
+                               P.outFilterMismatchNoverLmax,
+                               P.alignEndsTypeExt[tr.exons[0][3]][tr.Str])
+            if ext.ok:
+                _add_ext(tr, ext)
+                tr.exons[0][0] -= ext.extendL
+                tr.exons[0][1] -= ext.extendL
+                tr.exons[0][2] += ext.extendL
+                tr.rStart = tr.exons[0][0]
+                tr.gStart = tr.exons[0][1]
+        iS1 = chain[0]
+        tR2 = wa[iS1][WA_rStart] + wa[iS1][WA_Length]
+        tG2 = wa[iS1][WA_gStart] + wa[iS1][WA_Length]
+        if tR2 < Lread:
+            ext = extend_align(R, G, tR2, tG2, 1, 1, Lread - tR2,
+                               100000, mm_seed[iS1], nmm_max,
+                               P.outFilterMismatchNoverLmax,
+                               P.alignEndsTypeExt[tr.exons[-1][3]][1 - tr.Str])
+            if ext.ok:
+                _add_ext(tr, ext)
+                tr.exons[-1][2] += ext.extendL
+
+        # final values (reference stitchWindowSeeds.cpp:189-271)
+        tr.rLength = sum(e[2] for e in tr.exons)
+        tr.gLength = tr.exons[-1][1] + 1 - tr.gStart  # reference quirk: start
+        tr.roStart = tr.rStart if tr.roStr == 0 else Lread - tr.rStart - tr.rLength
+        if tr.exons[0][3] == tr.exons[-1][3]:
+            # maxScoreMate is recorded BEFORE the genomic-length score here
+            # (opposite order vs stitchWindowAligns)
+            tr.iFrag = tr.exons[0][3]
+            ra.maxScoreMate[tr.iFrag] = max(ra.maxScoreMate[tr.iFrag], tr.maxScore)
+        else:
+            tr.iFrag = -1
+        if P.scoreGenomicLengthLog2scale != 0:
+            import math
+            glen = tr.exons[-1][1] + tr.exons[-1][2] - tr.exons[0][1]
+            tr.maxScore += int(math.ceil(
+                math.log2(glen) * P.scoreGenomicLengthLog2scale - 0.5))
+            tr.maxScore = max(0, tr.maxScore)
+
+        # strand consistency + intron motif filters
+        tr.intronMotifs = [0, 0, 0]
+        sjN = 0
+        for iex in range(tr.nExons - 1):
+            if tr.canonSJ[iex] >= 0:
+                sjN += 1
+                tr.intronMotifs[tr.sjStr[iex]] += 1
+        tr.sjYes = sjN > 0
+        if tr.intronMotifs[1] > 0 and tr.intronMotifs[2] == 0:
+            tr.sjMotifStrand = 1
+        elif tr.intronMotifs[1] == 0 and tr.intronMotifs[2] > 0:
+            tr.sjMotifStrand = 2
+        else:
+            tr.sjMotifStrand = 0
+        if (tr.intronMotifs[1] > 0 and tr.intronMotifs[2] > 0
+                and P.outFilterIntronStrands == "RemoveInconsistentStrands"):
+            return None
+        if sjN > 0 and tr.sjMotifStrand == 0 and P.outSAMstrandField == "intronMotif":
+            return None
+        if P.outFilterIntronMotifs == "RemoveNoncanonical":
+            if any(c == 0 for c in tr.canonSJ[:tr.nExons - 1]):
+                return None
+        elif P.outFilterIntronMotifs == "RemoveNoncanonicalUnannotated":
+            for iex in range(tr.nExons - 1):
+                if tr.canonSJ[iex] == 0 and tr.sjAnnot[iex] == 0:
+                    return None
+        tr.mappedLength = sum(e[2] for e in tr.exons)
+        return tr

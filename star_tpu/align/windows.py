@@ -282,3 +282,45 @@ class WindowBuilder:
             ws.n_wap[iw] += 1
             if a_anchor and ws.w_last_anchor[iw] < ia:
                 ws.w_last_anchor[iw] = ia
+
+
+def long_window_coverage_filter(ws: WindowSet, P):
+    """STARlong window selection: drop windows whose read coverage is below
+    winReadCoverageRelativeMin of the best window (or winReadCoverageBasesMin),
+    then merge seeds adjacent in both read and genome space.
+    Reference: ReadAlign_stitchPieces.cpp:202-257 (COMPILE_FOR_LONG_READS)."""
+    cov = []
+    cov_max = 0
+    for wa in ws.wa:
+        c = 0
+        r_last = 0
+        for row in wa:
+            L1 = row[WA_Length]
+            r1 = row[WA_rStart]
+            if r1 + L1 > r_last + 1:
+                if r1 > r_last:
+                    c += L1
+                else:
+                    c += r1 + L1 - (r_last + 1)
+                r_last = r1 + L1 - 1
+        cov.append(c)
+        cov_max = max(cov_max, c)
+    for iw, wa in enumerate(ws.wa):
+        if (cov[iw] < cov_max * P.winReadCoverageRelativeMin
+                or cov[iw] < P.winReadCoverageBasesMin):
+            ws.wa[iw] = []
+        elif wa:
+            # merge seeds adjacent in R- and G-space (sjA/Nrep of the first
+            # piece are kept unchanged, like the reference)
+            ia1 = 0
+            for ia in range(1, len(wa)):
+                if (wa[ia][WA_rStart] == wa[ia1][WA_rStart] + wa[ia1][WA_Length]
+                        and wa[ia][WA_gStart] == wa[ia1][WA_gStart] + wa[ia1][WA_Length]
+                        and wa[ia][WA_iFrag] == wa[ia1][WA_iFrag]):
+                    wa[ia1][WA_Length] += wa[ia][WA_Length]
+                    wa[ia1][WA_Anchor] = max(wa[ia1][WA_Anchor], wa[ia][WA_Anchor])
+                else:
+                    ia1 += 1
+                    if ia1 != ia:
+                        wa[ia1] = wa[ia]
+            del wa[ia1 + 1:]

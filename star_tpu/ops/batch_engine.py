@@ -1664,6 +1664,11 @@ def fast_path_config_ok(gi, P) -> bool:
     the host oracle (still byte-identical, just slower)"""
     if P.chimSegmentMin > 0:
         return False
+    if getattr(P, "longReads", False):
+        # STARlong uses the seed-chain DP (align/stitch.py
+        # stitch_window_seeds), not the short-read recursion this batched
+        # engine reproduces
+        return False
     if getattr(P, "waspYes", False) or getattr(gi, "var", None) is not None:
         return False
     if P.outFilterBySJoutStage == 2:

@@ -169,6 +169,10 @@ _DEFS: List[ParamDef] = [d for d in [
     ParamDef("winBinNbits", "int", 16),
     ParamDef("winAnchorDistNbins", "int", 9),
     ParamDef("winFlankNbins", "int", 4),
+    # long-read window selection (reference parametersDefault:675-678; used
+    # only by the STARlong build, ReadAlign_stitchPieces.cpp:202-257)
+    ParamDef("winReadCoverageRelativeMin", "float", 0.5),
+    ParamDef("winReadCoverageBasesMin", "int", 0),
     # two-pass
     ParamDef("twopassMode", "str", "None"),
     ParamDef("twopass1readsN", "int", -1),
@@ -241,6 +245,10 @@ _DEFS: List[ParamDef] = [d for d in [
     ParamDef("tpuBatchSize", "int", 16384),
     ParamDef("tpuUseDevice", "int", 1),
     ParamDef("tpuShardedIndex", "int", 0),
+    # long-read mode: the reference ships this as the separately compiled
+    # STARlong binary (-DCOMPILE_FOR_LONG_READS, source/Makefile:164); here
+    # it is a runtime switch (also set by the bin/star-tpu-long entry)
+    ParamDef("tpuLongReads", "int", 0),
 ] ]
 
 DEFS_BY_NAME: Dict[str, ParamDef] = {d.name: d for d in _DEFS}
@@ -389,6 +397,12 @@ class Parameters:
             self.readNmates = 1  # the barcode read is not aligned
         self.readNends = self.readNmates  # barcodes add ends later (solo)
         self.maxNsplit = 10
+        # long-read build constants (reference IncludeDefine.h:128-140:
+        # MAX_N_EXONS 20 -> 1000, DEF_readSeqLengthMax 650 -> 500000 under
+        # COMPILE_FOR_LONG_READS)
+        self.longReads = bool(self.tpuLongReads)
+        self.maxNExons = 1000 if self.longReads else 20
+        self.readSeqLengthMax = 500000 if self.longReads else 650
         self.outSAMbool = "SAM" in self.outSAMtype
         self.outBAMunsorted = ("BAM" in self.outSAMtype) and ("Unsorted" in self.outSAMtype)
         self.outBAMcoord = ("BAM" in self.outSAMtype) and ("SortedByCoordinate" in self.outSAMtype)

@@ -310,6 +310,11 @@ def _run_mapping(P: Parameters, gi: GenomeIndex, use_device=None) -> RunStats:
         # the sharded kernel does not implement phase-offset probes yet;
         # the single-chip device path does (ops/pipeline.py _run_chains)
         use_device = False
+    if P.longReads:
+        # STARlong: reads up to 500 kb would force huge static probe shapes;
+        # the host seed loop + seed-chain DP handles them (align/stitch.py
+        # stitch_window_seeds)
+        use_device = False
 
     by_sjout = P.outFilterBySJoutStage == 1
     held = []
