@@ -4,9 +4,10 @@ This is the production hot path after the device seed loop: every per-read
 stage of the reference engine (reference: ReadAlign_stitchPieces.cpp,
 ReadAlign_createExtendWindowsWithAlign.cpp, ReadAlign_assignAlignToWindow.cpp,
 stitchWindowAligns.cpp, stitchAlignToTranscript.cpp, extendAlign.cpp) is
-reformulated as fixed-shape array ops over a batch of reads, so it can run
-vectorized (numpy) and jitted on device (ops/stitch.py wraps these stages
-with jnp).  Reads whose shapes exceed the static envelope (window/seed/subset
+reformulated as fixed-shape array ops over a batch of reads and runs
+vectorized (numpy) on the host — the stages are written against a static
+shape envelope so they can later be jitted unchanged with jnp.
+Reads whose shapes exceed the static envelope (window/seed/subset
 caps below) raise a per-read fallback flag and are re-run through the host
 oracle (align/windows.py + align/stitch.py), which keeps every output
 byte-identical while the envelope covers the overwhelming majority of reads.

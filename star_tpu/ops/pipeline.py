@@ -11,8 +11,10 @@ arrays.  A vectorized numpy replay then rebuilds the reference-order piece
 tables (reference: ReadAlign_storeAligns.cpp) so the downstream
 window/stitch stages see bit-identical input.
 
-Windows/stitching/output run on host; they migrate to device kernels stage
-by stage (ops/stitch.py).
+Windows/stitch/extend run as fixed-shape vectorized array stages over the
+whole batch (ops/batch_engine.py); reads outside the static envelope fall
+back to the per-read host oracle (align/windows.py + align/stitch.py),
+keeping every output byte-identical.
 """
 from __future__ import annotations
 

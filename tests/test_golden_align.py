@@ -72,3 +72,20 @@ def test_pe_overlap_merge_map(tmp_path, use_device):
     with open(prefix + "SJ.out.tab") as a, \
          open(os.path.join(GOLD, "peov", "SJ.out.tab")) as b:
         assert a.read() == b.read()
+
+
+def test_starlong_golden(tmp_path):
+    """--tpuLongReads: STARlong long-read mode (reference STARlong binary,
+    COMPILE_FOR_LONG_READS IncludeDefine.h:126-140; seed-chain DP
+    ReadAlign_stitchWindowSeeds.cpp:12-50; coverage window filtering
+    ReadAlign_stitchPieces.cpp:202-257).  SAM + SJ byte-identical on
+    0.5-3 kb spliced reads with mismatches and indels."""
+    prefix = _run_align(tmp_path, os.path.join(GOLD, "genome_idx"),
+                        [os.path.join(DATA, "reads_long.fastq")],
+                        extra=["--tpuLongReads", "1"])
+    got = _strip_header(prefix + "Aligned.out.sam")
+    want = _strip_header(os.path.join(GOLD, "long", "Aligned.out.sam"))
+    assert got == want
+    with open(prefix + "SJ.out.tab") as a, \
+         open(os.path.join(GOLD, "long", "SJ.out.tab")) as b:
+        assert a.read() == b.read()

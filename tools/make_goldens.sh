@@ -247,3 +247,12 @@ $STAR --genomeDir "$GOLD/genome_idx_sp2" --readFilesIn "$DATA/reads_pe_1.fastq" 
       --runThreadN 1 --outFileNamePrefix "$GOLD/pe_sp2/" --outSAMunmapped Within > /dev/null
 find "$GOLD/se_sp2" "$GOLD/pe_sp2" \( -name "Log.progress.out" -o -name "Log.out" \) -delete || true
 find "$GOLD" -name "_STARtmp" -type d -exec rm -rf {} + 2>/dev/null || true
+
+# 34. STARlong long-read mode (reference STARlong binary,
+# COMPILE_FOR_LONG_READS: IncludeDefine.h:126-140)
+python3 tools/make_long_reads.py
+rm -rf "$GOLD/long"; mkdir -p "$GOLD/long"
+/root/reference/bin/Linux_x86_64/STARlong --genomeDir "$GOLD/genome_idx" \
+      --readFilesIn "$DATA/reads_long.fastq" \
+      --runThreadN 1 --outFileNamePrefix "$GOLD/long/" --outSAMunmapped Within > /dev/null
+rm -rf "$GOLD/long/_STARtmp" "$GOLD/long/Log.out" "$GOLD/long/Log.progress.out"
