@@ -30,6 +30,10 @@ from ..constants import MARK_FRAG_SPACER_BASE, MAX_N_EXONS, SCORE_MATCH
 # static envelope of the fast path; beyond any of these -> host fallback
 W_MAX = 8       # windows per read (live slots, incl. dead-by-merge)
 S_MAX = 16      # seeds per window
+
+# fallback-cause counters (diagnostics; STAR_TPU_TIMING reports them)
+import collections as _collections
+FB_STATS = _collections.Counter()
 RPT = 256       # repeat-shift scan bound (MAX_SJ_REPEAT_SEARCH + 1)
 PAD_BASE = 255  # out-of-read padding: fails every base compare like C++ OOB
 
@@ -135,6 +139,14 @@ def expand_hits(gi, P, seeds: SeedArrays, lread: np.ndarray, n_reads: int):
     h_lread = lread[h_read]
     a1, a_str, a_rstart = _plus_strand(gi, combined, h_dir, h_len, h_rs,
                                        h_lread)
+    if gi.sjdb_n == 0 or gi.sj_gstart >= gi.n_genome:
+        # no junction pseudo-chromosome: every hit is one plain record in
+        # order — skip the expensive scatter assembly below entirely
+        anchor = h_nrep <= P.winAnchorMultimapNmax
+        return dict(read=h_read.astype(np.int32, copy=False), a1=a1,
+                    length=h_len, strand=a_str, rs=a_rstart, nrep=h_nrep,
+                    frag=h_frag, sja=np.full(len(a1), -1, np.int64),
+                    anchor=anchor)
     in_sj, crosses, a1_d, len_d, a1_a, len_a, isj = _sj_split(gi, a1, h_len)
 
     # each hit contributes 0 (uncrossed sj), 1 (plain) or 2 (split) records
@@ -214,8 +226,8 @@ def _stable_pos(read, n_reads):
 # Stage B: window creation scan (reference createExtendWindowsWithAlign)
 # --------------------------------------------------------------------------
 
-def build_windows(gi, P, crec: dict, c_counts: np.ndarray, n_reads: int
-                  ) -> WindowsState:
+def build_windows(gi, P, crec: dict, c_counts: np.ndarray, n_reads: int,
+                  w_max: int = W_MAX) -> WindowsState:
     wbits = P.winBinNbits
     wbc = gi.chr_bin_nbits - wbits
     dist = P.winAnchorDistNbins
@@ -227,13 +239,13 @@ def build_windows(gi, P, crec: dict, c_counts: np.ndarray, n_reads: int
     B = n_reads
     ws = WindowsState(
         n_reads=B,
-        win_str=np.zeros((B, W_MAX), np.int8),
-        win_chr=np.zeros((B, W_MAX), np.int32),
-        win_lo=np.full((B, W_MAX), 1, np.int64),
-        win_hi=np.full((B, W_MAX), 0, np.int64),
-        win_flo=np.zeros((B, W_MAX), np.int64),
-        win_fhi=np.zeros((B, W_MAX), np.int64),
-        win_alive=np.zeros((B, W_MAX), bool),
+        win_str=np.zeros((B, w_max), np.int8),
+        win_chr=np.zeros((B, w_max), np.int32),
+        win_lo=np.full((B, w_max), 1, np.int64),
+        win_hi=np.full((B, w_max), 0, np.int64),
+        win_flo=np.zeros((B, w_max), np.int64),
+        win_fhi=np.zeros((B, w_max), np.int64),
+        win_alive=np.zeros((B, w_max), bool),
         win_n=np.zeros(B, np.int32),
         fallback=np.zeros(B, bool),
     )
@@ -304,8 +316,9 @@ def build_windows(gi, P, crec: dict, c_counts: np.ndarray, n_reads: int
         ni = ai[new]
         if len(ni):
             slot = ws.win_n[ni]
-            over = (slot >= W_MAX) | (slot + 1 >= P.alignWindowsPerReadNmax)
+            over = (slot >= w_max) | (slot + 1 >= P.alignWindowsPerReadNmax)
             ws.fallback[ni[over]] = True
+            FB_STATS['win_overflow'] += int(over.sum())
             ok = ~over
             nio = ni[ok]
             so = slot[ok]
@@ -347,37 +360,41 @@ def _owner_window(P, ws: WindowsState, ai, a1, astr):
     core = alive & (ws.win_lo[ai] <= a_bin) & (a_bin <= ws.win_hi[ai])
     flank = alive & (ws.win_flo[ai] <= a_bin) & (a_bin <= ws.win_fhi[ai]) \
         & ~((ws.win_lo[ai] <= a_bin) & (a_bin <= ws.win_hi[ai]))
-    wix = np.arange(W_MAX)[None, :]
+    wix = np.arange(ws.win_alive.shape[1])[None, :]
     fk = np.where(flank, wix, -1).max(1)
     ck = np.where(core, wix, -1).max(1)
     return np.where(fk >= 0, fk, ck)   # -1 = unowned
 
 
-def assign_seeds(gi, P, ws: WindowsState, arec: dict, a_counts: np.ndarray
-                 ) -> WAState:
+def assign_seeds(gi, P, ws: WindowsState, arec: dict, a_counts: np.ndarray,
+                 s_max: int = S_MAX) -> WAState:
     B = ws.n_reads
+    w_max = ws.win_alive.shape[1]
     st = WAState(
-        wa_len=np.zeros((B, W_MAX, S_MAX), np.int64),
-        wa_rs=np.zeros((B, W_MAX, S_MAX), np.int64),
-        wa_gs=np.zeros((B, W_MAX, S_MAX), np.int64),
-        wa_nrep=np.zeros((B, W_MAX, S_MAX), np.int64),
-        wa_anchor=np.zeros((B, W_MAX, S_MAX), np.int8),
-        wa_frag=np.zeros((B, W_MAX, S_MAX), np.int8),
-        wa_sja=np.full((B, W_MAX, S_MAX), -1, np.int64),
-        wa_n=np.zeros((B, W_MAX), np.int32),
-        wa_lrec=np.zeros((B, W_MAX), np.int64),
+        wa_len=np.zeros((B, w_max, s_max), np.int64),
+        wa_rs=np.zeros((B, w_max, s_max), np.int64),
+        wa_gs=np.zeros((B, w_max, s_max), np.int64),
+        wa_nrep=np.zeros((B, w_max, s_max), np.int64),
+        wa_anchor=np.zeros((B, w_max, s_max), np.int8),
+        wa_frag=np.zeros((B, w_max, s_max), np.int8),
+        wa_sja=np.full((B, w_max, s_max), -1, np.int64),
+        wa_n=np.zeros((B, w_max), np.int32),
+        wa_lrec=np.zeros((B, w_max), np.int64),
         fallback=ws.fallback.copy(),
     )
     K = arec["a1"].shape[1] if arec else 0
-    srange = np.arange(S_MAX)
+    srange = np.arange(s_max)
     for k in range(K):
         act = (k < a_counts) & ~st.fallback
         ai = np.nonzero(act)[0]
         if len(ai) == 0:
             continue
         a1 = arec["a1"][ai, k]
-        astr = arec["strand"][ai, k]
-        iw = _owner_window(P, ws, ai, a1, astr)
+        if "own" in arec:
+            iw = arec["own"][ai, k]
+        else:
+            astr = arec["strand"][ai, k]
+            iw = _owner_window(P, ws, ai, a1, astr)
         hasw = iw >= 0
         ai = ai[hasw]
         if len(ai) == 0:
@@ -432,7 +449,7 @@ def assign_seeds(gi, P, ws: WindowsState, arec: dict, a_counts: np.ndarray
             # q + (q >= ia) with q = j - (j > ia0)
             q = srange[None, :] - (srange[None, :] > ia0[:, None])
             src = q + (q >= ia[ri][:, None])
-            src = np.clip(src, 0, S_MAX - 1)
+            src = np.clip(src, 0, s_max - 1)
             rr = np.arange(len(ri))[:, None]
             bb = ai[ri]
             ww = iw[ri]
@@ -452,12 +469,14 @@ def assign_seeds(gi, P, ws: WindowsState, arec: dict, a_counts: np.ndarray
             ii = np.nonzero(ins)[0]
             full = n[ii] >= P.seedPerWindowNmax
             st.fallback[ai[ii[full]]] = True
+            FB_STATS['seed_full50'] += int(full.sum())
             ii = ii[~full]
             gate = anchor[ii] | (L[ii] > st.wa_lrec[ai[ii], iw[ii]])
             ii = ii[gate]
             if len(ii):
-                over = n[ii] >= S_MAX
+                over = n[ii] >= s_max
                 st.fallback[ai[ii[over]]] = True
+                FB_STATS['seed_smax'] += int(over.sum())
                 ii = ii[~over]
             if len(ii):
                 cond = (rs[ii][:, None] < rows_rs[ii]) \
@@ -561,8 +580,8 @@ def _empty_lanes(bb, ww) -> LaneState:
 CHAIN_CAP = 1024   # valid chains per window before host fallback
 
 
-def grow_chains(gi, P, G, RS, st: WAState, ws, nmm_max_read, Lpad
-                ) -> LaneState:
+def grow_chains(gi, P, G, RS, st: WAState, ws, nmm_max_read, Lpad,
+                chain_cap: int = CHAIN_CAP) -> LaneState:
     """DFS-equivalent chain enumeration, output-sensitive: the frontier holds
     every valid partial chain (the recursion's live include-paths); the
     include branch only extends chains whose stitch succeeded, so dead
@@ -613,11 +632,13 @@ def grow_chains(gi, P, G, RS, st: WAState, ws, nmm_max_read, Lpad
         grown = _lanes_take(inc, np.nonzero(inc.alive)[0])
         lanes = _lanes_concat(lanes, grown)
         # frontier cap: combinatorial windows go to the host oracle
-        keys = lanes.b.astype(np.int64) * W_MAX + lanes.w
-        cnt = np.bincount(keys, minlength=B * W_MAX)
-        over = np.nonzero(cnt > CHAIN_CAP)[0]
+        w_max = ws.win_alive.shape[1]
+        keys = lanes.b.astype(np.int64) * w_max + lanes.w
+        cnt = np.bincount(keys, minlength=B * w_max)
+        over = np.nonzero(cnt > chain_cap)[0]
         if len(over):
-            st.fallback[over // W_MAX] = True
+            st.fallback[over // w_max] = True
+            FB_STATS['chain_cap'] += len(over)
 
     sel = (lanes.mask != 0) & ~st.fallback[lanes.b]
     lanes = _lanes_take(lanes, np.nonzero(sel)[0])
@@ -625,7 +646,7 @@ def grow_chains(gi, P, G, RS, st: WAState, ws, nmm_max_read, Lpad
     # mask (seed 0 is the most significant decision)
     n = st.wa_n[lanes.b, lanes.w].astype(np.int64)
     rev = np.zeros(len(lanes.b), np.int64)
-    for s in range(S_MAX):
+    for s in range(int(st.wa_len.shape[2])):
         bit = (lanes.mask >> s) & 1
         rev |= bit << np.maximum(n - 1 - s, 0)
     order = np.lexsort((-rev, lanes.w, lanes.b))
@@ -1521,7 +1542,7 @@ def assemble(gi, P, lanes: LaneState, accept, ws: WindowsState, st: WAState,
     fb_l = st.fallback.tolist()
     rng = P.outFilterMultimapScoreRange
     chim = P.chimSegmentMin > 0
-    cap_possible = W_MAX * P.alignTranscriptsPerWindowNmax \
+    cap_possible = ws.win_alive.shape[1] * P.alignTranscriptsPerWindowNmax \
         >= P.alignTranscriptsPerReadNmax
 
     NA = len(oi)
@@ -1677,28 +1698,114 @@ def fast_path_config_ok(gi, P) -> bool:
     return True
 
 
+def owner_window_flat(P, ws: WindowsState, read, a1, astr, chunk=1 << 22):
+    """vectorized winBin ownership over FLAT records (same semantics as
+    _owner_window: flanks are marked after all cores, highest-index flank
+    covering a bin beats any core mark).  Ownership is pure once windows are
+    built, so records owned by no window can be dropped before the
+    order-sensitive WA insertion scan — exactly like the reference's
+    `iW==uintWinBinMax -> return` early-out (assignAlignToWindow.cpp:10)."""
+    N = len(read)
+    out = np.full(N, -1, np.int64)
+    wix = np.arange(ws.win_alive.shape[1])[None, :]
+    for c0 in range(0, N, chunk):
+        c1 = min(c0 + chunk, N)
+        ri = read[c0:c1]
+        a_bin = (a1[c0:c1] >> P.winBinNbits)[:, None]
+        alive = ws.win_alive[ri] & (ws.win_str[ri] == astr[c0:c1, None])
+        core = alive & (ws.win_lo[ri] <= a_bin) & (a_bin <= ws.win_hi[ri])
+        flank = alive & (ws.win_flo[ri] <= a_bin) \
+            & (a_bin <= ws.win_fhi[ri]) & ~core
+        fk = np.where(flank, wix, -1).max(1)
+        ck = np.where(core, wix, -1).max(1)
+        out[c0:c1] = np.where(fk >= 0, fk, ck)
+    return out
+
+
+def _stitch_level(gi, P, recs, lread, read_fwd_u8, read_rc_u8, read_len2,
+                  nmm_max_read, w_max, s_max, chain_cap, arc_cap):
+    """run the full windows->assign->grow->finalize->assemble pipeline on one
+    (sub-)batch at the given envelope.  Returns (fallback[B], results,
+    arc_over[B]) where arc_over marks reads whose surviving assign-record
+    count exceeded arc_cap (candidates for escalation, not true fallback)."""
+    B = len(lread)
+    crec, cc = densify(recs, B, mask=recs["anchor"])
+    ws = build_windows(gi, P, crec, cc, B, w_max=w_max)
+    # ownership pre-filter: drop records no window owns (vast majority for
+    # high-nrep seeds), so the dense assign scan width collapses
+    own = owner_window_flat(P, ws, recs["read"], recs["a1"], recs["strand"])
+    keep = own >= 0
+    recs_k = {k: v[keep] for k, v in recs.items()}
+    recs_k["own"] = own[keep]
+    arc = np.bincount(recs_k["read"], minlength=B)
+    arc_over = arc > arc_cap
+    if arc_over.any():
+        m2 = ~arc_over[recs_k["read"]]
+        recs_k = {k: v[m2] for k, v in recs_k.items()}
+    arec, ac = densify(recs_k, B)
+    st = assign_seeds(gi, P, ws, arec, ac, s_max=s_max)
+    st.fallback |= arc_over
+    G = gi.G if gi.G.dtype == np.uint8 else gi.G.view(np.uint8)
+    RS = np.concatenate([read_fwd_u8, read_rc_u8], axis=0)
+    Lpad = read_fwd_u8.shape[1] + 2
+    lanes = grow_chains(gi, P, G, RS, st, ws, nmm_max_read, Lpad,
+                        chain_cap=chain_cap)
+    accept = finalize_lanes(gi, P, G, RS, lanes, ws, nmm_max_read,
+                            read_len2, lread, Lpad)
+    results = assemble(gi, P, lanes, accept, ws, st, lread)
+    return st.fallback, results, arc_over
+
+
+# escalation levels: (record-count bound, W, S, chain cap, assign-rec cap).
+# Level 0 covers ~99% of reads with tight shapes; overflow reads re-run at
+# level 1; only reads beyond level 1 take the per-read host oracle.
+LEVELS = ((2048, W_MAX, S_MAX, CHAIN_CAP, 512),
+          (1 << 17, 32, 50, 16384, 16384))
+
+
+def _slice_seed_recs(recs, read_mask, new_index):
+    sel = read_mask[recs["read"]]
+    out = {k: v[sel] for k, v in recs.items()}
+    out["read"] = new_index[out["read"]].astype(np.int32)
+    return out
+
+
 def stitch_batch(gi, P, seeds: SeedArrays, read_fwd_u8, read_rc_u8,
                  lread, read_len2, nmm_max_read):
-    """full batched post-seeding pipeline.
+    """full batched post-seeding pipeline with envelope escalation.
     read_fwd_u8/read_rc_u8: [B, Lmax] uint8, PAD_BASE-padded.
     read_len2: [B, 2] per-mate readLength.  nmm_max_read: [B].
     Returns (fallback[B] bool, {read: (all_win_tr, maxScoreMate)})."""
     B = len(lread)
     recs = expand_hits(gi, P, seeds, lread, B)
-    # per-read record cap: beyond this the dense arrays get too wide
     rc = np.bincount(recs["read"], minlength=B)
-    fb0 = rc > 512
-    mask_ok = ~fb0[recs["read"]]
-    crec, cc = densify(recs, B, mask=(recs["anchor"] & mask_ok))
-    arec, ac = densify(recs, B, mask=mask_ok)
-    ws = build_windows(gi, P, crec, cc, B)
-    ws.fallback |= fb0
-    st = assign_seeds(gi, P, ws, arec, ac)
-    G = gi.G if gi.G.dtype == np.uint8 else gi.G.view(np.uint8)
-    RS = np.concatenate([read_fwd_u8, read_rc_u8], axis=0)
-    Lpad = read_fwd_u8.shape[1] + 2
-    lanes = grow_chains(gi, P, G, RS, st, ws, nmm_max_read, Lpad)
-    accept = finalize_lanes(gi, P, G, RS, lanes, ws, nmm_max_read,
-                            read_len2, lread, Lpad)
-    results = assemble(gi, P, lanes, accept, ws, st, lread)
-    return st.fallback, results
+
+    fallback = np.ones(B, bool)
+    results = {}
+    # reads beyond the last level's record bound go straight to the oracle
+    todo = rc <= LEVELS[-1][0]
+    FB_STATS["rec_cap"] += int(B - todo.sum())
+    for li, (rc_cap, w_max, s_max, chain_cap, arc_cap) in enumerate(LEVELS):
+        run = todo & (rc <= rc_cap)
+        if li + 1 == len(LEVELS):
+            run = todo      # last level takes every remaining read
+        idx = np.nonzero(run)[0]
+        if len(idx) == 0:
+            continue
+        new_index = np.zeros(B, np.int64)
+        new_index[idx] = np.arange(len(idx))
+        sub = _slice_seed_recs(recs, run, new_index)
+        fb_s, res_s, arc_over = _stitch_level(
+            gi, P, sub, lread[idx], read_fwd_u8[idx], read_rc_u8[idx],
+            read_len2[idx], nmm_max_read[idx], w_max, s_max, chain_cap,
+            arc_cap)
+        done_s = ~fb_s
+        done_idx = idx[done_s]
+        fallback[done_idx] = False
+        for bsub, v in res_s.items():
+            if done_s[bsub]:
+                results[int(idx[bsub])] = v
+        todo[done_idx] = False
+        if li + 1 == len(LEVELS):
+            FB_STATS["env_final"] += int(fb_s.sum())
+    return fallback, results

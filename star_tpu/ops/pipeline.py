@@ -294,7 +294,10 @@ class DeviceAligner:
         out = self.seed_round(rm_dev, pad(c_read), pad(start), pad(c_dir),
                               pad(slen),
                               pad(np.ones(n, bool), False), budget)
-        res = [np.asarray(x)[:n] for x in out]
+        # one full-bucket D2H per output (host-side slice; a device-side
+        # x[:n] would dispatch a tiny remote op per call), then copy so the
+        # respin merge below can write into it
+        res = [np.asarray(x)[:n].copy() for x in out]
         unc = res[4]
         if unc.any() and budget < self.RESPIN_BUDGET:
             ui = np.nonzero(unc)[0]

@@ -155,13 +155,19 @@ def main():
         r = "".join(NT[rng.integers(0, 4, size=L)])
         reads.append((f"rand{i}", r))
 
+    # shuffle so read classes interleave: any prefix of the file is
+    # representative (a class-sorted file makes partial-file benchmarks
+    # wildly misleading — easy exact reads first, multimappers last)
+    perm = rng.permutation(len(reads))
+    reads = [reads[i] for i in perm]
+
     with open(os.path.join(args.out, "reads_se.fastq"), "w") as f:
         for name, seq in reads:
             f.write(fastq_rec(name, seq))
 
     # paired-end: fragments of 250-400, mate2 = rc of fragment end
-    with open(os.path.join(args.out, "reads_pe_1.fastq"), "w") as f1, \
-         open(os.path.join(args.out, "reads_pe_2.fastq"), "w") as f2:
+    pairs = []
+    if True:
         for i in range(n // 2):
             c = "chr1" if rng.random() < 0.6 else "chr2"
             seq = chrs[c]
@@ -178,8 +184,15 @@ def main():
                 frag = seq[pos:pos + flen]
             m1 = mutate(frag[:L], rng, nmm=int(rng.integers(0, 3)))
             m2 = mutate(rc(frag[-L:]), rng, nmm=int(rng.integers(0, 3)))
-            f1.write(fastq_rec(f"pe{i}_{c}_{pos}", m1))
-            f2.write(fastq_rec(f"pe{i}_{c}_{pos}", m2))
+            pairs.append((f"pe{i}_{c}_{pos}", m1, m2))
+
+    perm = rng.permutation(len(pairs))
+    pairs = [pairs[i] for i in perm]
+    with open(os.path.join(args.out, "reads_pe_1.fastq"), "w") as f1, \
+         open(os.path.join(args.out, "reads_pe_2.fastq"), "w") as f2:
+        for name, m1, m2 in pairs:
+            f1.write(fastq_rec(name, m1))
+            f2.write(fastq_rec(name, m2))
 
     print(f"wrote test data to {args.out}: {len(reads)} SE reads, {n//2} PE pairs")
 
