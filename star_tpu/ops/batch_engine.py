@@ -65,21 +65,6 @@ class WindowsState:
     fallback: np.ndarray   # [B] bool
 
 
-@dataclass
-class WAState:
-    # the reference WA[iW][iA][...] table as dense [B, W, S] arrays
-    wa_len: np.ndarray     # int64
-    wa_rs: np.ndarray      # int64
-    wa_gs: np.ndarray      # int64
-    wa_nrep: np.ndarray    # int64
-    wa_anchor: np.ndarray  # int8
-    wa_frag: np.ndarray    # int8
-    wa_sja: np.ndarray     # int64 (-1 = none)
-    wa_n: np.ndarray       # [B, W] int32
-    wa_lrec: np.ndarray    # [B, W] int64
-    fallback: np.ndarray   # [B] bool
-
-
 # --------------------------------------------------------------------------
 # Stage A: SA-hit expansion + plus-strand conversion + sjdb split
 # --------------------------------------------------------------------------
@@ -258,6 +243,8 @@ def build_windows(gi, P, crec: dict, c_counts: np.ndarray, n_reads: int,
         act = (k < c_counts) & ~ws.fallback
         ai = np.nonzero(act)[0]
         if len(ai) == 0:
+            if not (c_counts[~ws.fallback] > k).any():
+                break
             continue
         a1 = crec["a1"][ai, k]
         astr = crec["strand"][ai, k]
@@ -351,76 +338,159 @@ def build_windows(gi, P, crec: dict, c_counts: np.ndarray, n_reads: int,
 # Stage C: seed->window assignment scan (reference assignAlignToWindow)
 # --------------------------------------------------------------------------
 
-def _owner_window(P, ws: WindowsState, ai, a1, astr):
-    """winBin ownership: cores are disjoint; flanks are marked in window
-    order AFTER all cores, so the highest-index flank covering the bin wins
-    over any core mark."""
-    a_bin = (a1 >> P.winBinNbits)[:, None]
-    alive = ws.win_alive[ai] & (ws.win_str[ai] == astr[:, None])
-    core = alive & (ws.win_lo[ai] <= a_bin) & (a_bin <= ws.win_hi[ai])
-    flank = alive & (ws.win_flo[ai] <= a_bin) & (a_bin <= ws.win_fhi[ai]) \
-        & ~((ws.win_lo[ai] <= a_bin) & (a_bin <= ws.win_hi[ai]))
-    wix = np.arange(ws.win_alive.shape[1])[None, :]
-    fk = np.where(flank, wix, -1).max(1)
-    ck = np.where(core, wix, -1).max(1)
-    return np.where(fk >= 0, fk, ck)   # -1 = unowned
-
-
-def assign_seeds(gi, P, ws: WindowsState, arec: dict, a_counts: np.ndarray,
-                 s_max: int = S_MAX) -> WAState:
+def compute_owner(P, gi, ws: WindowsState, read, a1, astr):
+    """window ownership for FLAT records via a batched winBin table — the
+    reference's own design (ReadAlign.h winBin; marking in
+    createExtendWindowsWithAlign.cpp): per (read, strand, 64K-genome-bin)
+    store the owning window slot.  Cores are marked in window order, then
+    flanks in window order (later marks overwrite, so the highest-index
+    flank covering a bin beats any core — same quirk _owner_window models).
+    Ownership is pure once windows are built, so records owned by no window
+    are dropped before the order-sensitive WA scan (the reference's
+    `iW==uintWinBinMax -> return`, assignAlignToWindow.cpp:10).
+    Falls back to a chunked per-record window-compare when the dense table
+    would be too large (mammal-scale genome x large batch)."""
     B = ws.n_reads
-    w_max = ws.win_alive.shape[1]
-    st = WAState(
-        wa_len=np.zeros((B, w_max, s_max), np.int64),
-        wa_rs=np.zeros((B, w_max, s_max), np.int64),
-        wa_gs=np.zeros((B, w_max, s_max), np.int64),
-        wa_nrep=np.zeros((B, w_max, s_max), np.int64),
-        wa_anchor=np.zeros((B, w_max, s_max), np.int8),
-        wa_frag=np.zeros((B, w_max, s_max), np.int8),
-        wa_sja=np.full((B, w_max, s_max), -1, np.int64),
-        wa_n=np.zeros((B, w_max), np.int32),
-        wa_lrec=np.zeros((B, w_max), np.int64),
-        fallback=ws.fallback.copy(),
-    )
-    K = arec["a1"].shape[1] if arec else 0
+    W = ws.win_alive.shape[1]
+    wbits = P.winBinNbits
+    n_bins = (int(gi.n_genome) >> wbits) + 2
+    if B * 2 * n_bins > (1 << 28):
+        return _owner_flat_chunked(P, ws, read, a1, astr)
+    wb = np.full((B, 2, n_bins), -1, np.int16)
+    wbf = wb.reshape(-1)
+    bi, wi = np.nonzero(ws.win_alive & (ws.win_lo <= ws.win_hi))
+    if len(bi):
+        sw = ws.win_str[bi, wi].astype(np.int64)
+        base = (bi.astype(np.int64) * 2 + sw) * n_bins
+        lo = ws.win_lo[bi, wi]
+        hi = ws.win_hi[bi, wi]
+        flo = ws.win_flo[bi, wi]
+        fhi = ws.win_fhi[bi, wi]
+
+        def mark(lo_, hi_):
+            ln = np.maximum(hi_ - lo_ + 1, 0)
+            tot = int(ln.sum())
+            if tot == 0:
+                return
+            ww = np.repeat(np.arange(len(bi)), ln)
+            off = np.arange(tot) - np.repeat(np.cumsum(ln) - ln, ln)
+            # duplicate flat indices: numpy fancy assignment keeps the LAST
+            # write; rows come b-major w-minor, so within a read later
+            # windows win — the reference's marking order
+            wbf[np.repeat(base, ln) + np.repeat(lo_, ln) + off] = \
+                wi[ww].astype(np.int16)
+
+        mark(lo, hi)                       # cores (disjoint per read/strand)
+        mark(flo, np.minimum(lo - 1, hi))  # left flanks
+        mark(np.maximum(hi + 1, lo), fhi)  # right flanks
+    own = wbf[(read.astype(np.int64) * 2 + astr) * n_bins
+              + (a1 >> wbits)].astype(np.int64)
+    return own
+
+
+def _owner_flat_chunked(P, ws, read, a1, astr, chunk=1 << 21):
+    """[N, W]-compare ownership (same semantics), chunked over records"""
+    N = len(read)
+    out = np.full(N, -1, np.int64)
+    wix = np.arange(ws.win_alive.shape[1])[None, :]
+    for c0 in range(0, N, chunk):
+        c1 = min(c0 + chunk, N)
+        ri = read[c0:c1]
+        a_bin = (a1[c0:c1] >> P.winBinNbits)[:, None]
+        alive = ws.win_alive[ri] & (ws.win_str[ri] == astr[c0:c1, None])
+        core = alive & (ws.win_lo[ri] <= a_bin) & (a_bin <= ws.win_hi[ri])
+        flank = alive & (ws.win_flo[ri] <= a_bin) \
+            & (a_bin <= ws.win_fhi[ri]) & ~core
+        fk = np.where(flank, wix, -1).max(1)
+        ck = np.where(core, wix, -1).max(1)
+        out[c0:c1] = np.where(fk >= 0, fk, ck)
+    return out
+
+
+@dataclass
+class WAStateP:
+    """the reference WA[iW][iA][...] table keyed by (read, window) PAIR rows
+    — [NP, S] dense instead of [B, W, S], so wide window envelopes cost
+    nothing for the (vast majority of) reads with few windows"""
+    pb: np.ndarray         # [NP] int32 read index (sorted major)
+    pw: np.ndarray         # [NP] int32 window slot (sorted minor)
+    wa_len: np.ndarray     # [NP, S] int64
+    wa_rs: np.ndarray
+    wa_gs: np.ndarray
+    wa_nrep: np.ndarray
+    wa_anchor: np.ndarray  # [NP, S] int8
+    wa_frag: np.ndarray    # int8
+    wa_sja: np.ndarray     # int64 (-1 = none)
+    wa_n: np.ndarray       # [NP] int32
+    wa_n_dense: np.ndarray  # [B, W] int32 (assemble's window budget walk)
+    fallback: np.ndarray   # [B] bool
+
+
+def assign_pairs(gi, P, ws: WindowsState, rr: dict, s_max: int) -> WAStateP:
+    """the reference's sequential WA insertion scan (assignAlignToWindow),
+    vectorized over (read, window) pair rows: iteration k processes the k-th
+    surviving record of every pair concurrently.  rr: flat ownership-filtered
+    records (arrival order preserved) with an "own" window-slot field.
+
+    WALrec gates are no-ops here: the reference only raises WALrec in its
+    window-full eviction branch (assignAlignToWindow.cpp:70-103), and pairs
+    reaching seedPerWindowNmax fall back to the host oracle instead."""
+    B = ws.n_reads
+    W = ws.win_alive.shape[1]
+    fallback = ws.fallback.copy()
+    pid = rr["read"].astype(np.int64) * W + rr["own"]
+    upid, inv = np.unique(pid, return_inverse=True)
+    NP = len(upid)
+    counts = np.bincount(inv, minlength=NP) if NP else np.zeros(0, np.int64)
+    Kw = int(counts.max()) if NP else 0
+    st = WAStateP(
+        pb=(upid // W).astype(np.int32), pw=(upid % W).astype(np.int32),
+        wa_len=np.zeros((NP, s_max), np.int64),
+        wa_rs=np.zeros((NP, s_max), np.int64),
+        wa_gs=np.zeros((NP, s_max), np.int64),
+        wa_nrep=np.zeros((NP, s_max), np.int64),
+        wa_anchor=np.zeros((NP, s_max), np.int8),
+        wa_frag=np.zeros((NP, s_max), np.int8),
+        wa_sja=np.full((NP, s_max), -1, np.int64),
+        wa_n=np.zeros(NP, np.int32),
+        wa_n_dense=np.zeros((B, W), np.int32),
+        fallback=fallback)
+    if NP == 0:
+        return st
+    # position of each record within its pair, arrival order preserved
+    order = np.argsort(inv, kind="stable")
+    startp = np.zeros(NP, np.int64)
+    startp[1:] = np.cumsum(counts)[:-1]
+    pos = np.empty(len(inv), np.int64)
+    pos[order] = np.arange(len(inv)) - startp[inv[order]]
+    dense = {}
+    for kname in ("a1", "length", "rs", "nrep", "frag", "sja", "anchor"):
+        v = rr[kname]
+        d = np.zeros((NP, Kw), v.dtype)
+        d[inv, pos] = v
+        dense[kname] = d
+
     srange = np.arange(s_max)
-    for k in range(K):
-        act = (k < a_counts) & ~st.fallback
-        ai = np.nonzero(act)[0]
-        if len(ai) == 0:
+    for k in range(Kw):
+        pi = np.nonzero((k < counts) & ~st.fallback[st.pb])[0]
+        if len(pi) == 0:
+            if not ((counts > k) & ~st.fallback[st.pb]).any():
+                break
             continue
-        a1 = arec["a1"][ai, k]
-        if "own" in arec:
-            iw = arec["own"][ai, k]
-        else:
-            astr = arec["strand"][ai, k]
-            iw = _owner_window(P, ws, ai, a1, astr)
-        hasw = iw >= 0
-        ai = ai[hasw]
-        if len(ai) == 0:
-            continue
-        iw = iw[hasw]
-        a1 = a1[hasw]
-        L = arec["length"][ai, k]
-        rs = arec["rs"][ai, k]
-        nrep = arec["nrep"][ai, k]
-        frag = arec["frag"][ai, k]
-        sja = arec["sja"][ai, k]
-        anchor = arec["anchor"][ai, k]
+        a1 = dense["a1"][pi, k]
+        L = dense["length"][pi, k]
+        rs = dense["rs"][pi, k]
+        nrep = dense["nrep"][pi, k]
+        frag = dense["frag"][pi, k]
+        sja = dense["sja"][pi, k]
+        anchor = dense["anchor"][pi, k]
 
-        lrec = st.wa_lrec[ai, iw]
-        keep = anchor | ~(L < lrec)
-        ai, iw, a1, L, rs, nrep, frag, sja, anchor = [
-            x[keep] for x in (ai, iw, a1, L, rs, nrep, frag, sja, anchor)]
-        if len(ai) == 0:
-            continue
-
-        n = st.wa_n[ai, iw]                      # [A]
-        rows_len = st.wa_len[ai, iw]             # [A, S]
-        rows_rs = st.wa_rs[ai, iw]
-        rows_gs = st.wa_gs[ai, iw]
-        rows_frag = st.wa_frag[ai, iw]
-        rows_sja = st.wa_sja[ai, iw]
+        n = st.wa_n[pi]
+        rows_len = st.wa_len[pi]
+        rows_rs = st.wa_rs[pi]
+        rows_gs = st.wa_gs[pi]
+        rows_frag = st.wa_frag[pi]
+        rows_sja = st.wa_sja[pi]
         occupied = srange[None, :] < n[:, None]
 
         ovl = occupied \
@@ -434,69 +504,63 @@ def assign_seeds(gi, P, ws: WindowsState, arec: dict, a_counts: np.ndarray,
         ia = np.argmax(ovl, axis=1)
 
         # ---- replace path: longer seed on the same diagonal
-        rep = has_ovl & (L > rows_len[np.arange(len(ai)), ia])
+        rep = has_ovl & (L > rows_len[np.arange(len(pi)), ia])
         if rep.any():
             ri = np.nonzero(rep)[0]
-            # ia0: first index != ia with rs < rows_rs, default n; if past the
-            # removed slot, shift down one (reference assignAlignToWindow)
+            # ia0: first index != ia with rs < rows_rs, default n; if past
+            # the removed slot, shift down one (assignAlignToWindow.cpp:27)
             cond = (rs[ri][:, None] < rows_rs[ri]) \
                 & (srange[None, :] != ia[ri][:, None]) \
                 & (srange[None, :] < n[ri][:, None])
             ia0 = np.where(cond.any(1), np.argmax(cond, axis=1), n[ri])
             ia0 = np.where(ia0 > ia[ri], ia0 - 1, ia0)
-            # result = old list with slot ia deleted and the new row inserted
-            # at ia0; inverse gather: output j != ia0 takes old row
-            # q + (q >= ia) with q = j - (j > ia0)
             q = srange[None, :] - (srange[None, :] > ia0[:, None])
             src = q + (q >= ia[ri][:, None])
             src = np.clip(src, 0, s_max - 1)
-            rr = np.arange(len(ri))[:, None]
-            bb = ai[ri]
-            ww = iw[ri]
+            rrn = np.arange(len(ri))[:, None]
+            pp = pi[ri]
             is_new = srange[None, :] == ia0[:, None]
             for arr, newv in [
                     (st.wa_len, L), (st.wa_rs, rs), (st.wa_gs, a1),
                     (st.wa_nrep, nrep),
                     (st.wa_anchor, anchor.astype(np.int8)),
                     (st.wa_frag, frag), (st.wa_sja, sja)]:
-                rows = arr[bb, ww]
-                out = np.where(is_new, newv[ri][:, None], rows[rr, src])
-                arr[bb, ww] = out.astype(arr.dtype)
+                rows = arr[pp]
+                out = np.where(is_new, newv[ri][:, None], rows[rrn, src])
+                arr[pp] = out.astype(arr.dtype)
 
         # ---- insert path
         ins = ~has_ovl
         if ins.any():
             ii = np.nonzero(ins)[0]
             full = n[ii] >= P.seedPerWindowNmax
-            st.fallback[ai[ii[full]]] = True
+            st.fallback[st.pb[pi[ii[full]]]] = True
             FB_STATS['seed_full50'] += int(full.sum())
             ii = ii[~full]
-            gate = anchor[ii] | (L[ii] > st.wa_lrec[ai[ii], iw[ii]])
-            ii = ii[gate]
             if len(ii):
                 over = n[ii] >= s_max
-                st.fallback[ai[ii[over]]] = True
+                st.fallback[st.pb[pi[ii[over]]]] = True
                 FB_STATS['seed_smax'] += int(over.sum())
                 ii = ii[~over]
             if len(ii):
                 cond = (rs[ii][:, None] < rows_rs[ii]) \
                     & (srange[None, :] < n[ii][:, None])
-                pos = np.where(cond.any(1), np.argmax(cond, axis=1), n[ii])
-                bb = ai[ii]
-                ww = iw[ii]
-                shift = srange[None, :] >= pos[:, None]
+                pos2 = np.where(cond.any(1), np.argmax(cond, axis=1), n[ii])
+                pp = pi[ii]
+                shift = srange[None, :] >= pos2[:, None]
                 for arr, newv in [
                         (st.wa_len, L), (st.wa_rs, rs), (st.wa_gs, a1),
                         (st.wa_nrep, nrep),
                         (st.wa_anchor, anchor.astype(np.int8)),
                         (st.wa_frag, frag), (st.wa_sja, sja)]:
-                    rows = arr[bb, ww]
+                    rows = arr[pp]
                     out = rows.copy()
                     out[:, 1:] = np.where(shift[:, 1:], rows[:, :-1],
                                           rows[:, 1:])
-                    out[np.arange(len(ii)), pos] = newv[ii]
-                    arr[bb, ww] = out
-                st.wa_n[bb, ww] = n[ii] + 1
+                    out[np.arange(len(ii)), pos2] = newv[ii]
+                    arr[pp] = out
+                st.wa_n[pp] = n[ii] + 1
+    st.wa_n_dense[st.pb, st.pw] = st.wa_n
     return st
 
 
@@ -508,6 +572,7 @@ def assign_seeds(gi, P, ws: WindowsState, arec: dict, a_counts: np.ndarray,
 class LaneState:
     b: np.ndarray          # [L] read index
     w: np.ndarray          # [L] window slot
+    prow: np.ndarray       # [L] WAStateP pair row
     mask: np.ndarray       # [L] subset bitmask
     dfs: np.ndarray        # [L] DFS rank within window (for ordering)
     ex_rs: np.ndarray      # [L, E] int64
@@ -558,13 +623,14 @@ def _lanes_concat(a: LaneState, b: LaneState) -> LaneState:
                         for k in _lane_fields()})
 
 
-def _empty_lanes(bb, ww) -> LaneState:
+def _empty_lanes(bb, ww, prow) -> LaneState:
     L = len(bb)
     E = MAX_N_EXONS
     z64 = lambda *s: np.zeros(s, np.int64)
     z32 = lambda *s: np.zeros(s, np.int32)
     return LaneState(
-        b=bb.astype(np.int32), w=ww.astype(np.int32), mask=z64(L),
+        b=bb.astype(np.int32), w=ww.astype(np.int32),
+        prow=prow.astype(np.int32), mask=z64(L),
         dfs=z32(L),
         ex_rs=z64(L, E), ex_gs=z64(L, E), ex_len=z64(L, E),
         ex_frag=np.zeros((L, E), np.int8), ex_sja=np.full((L, E), -1, np.int64),
@@ -580,36 +646,41 @@ def _empty_lanes(bb, ww) -> LaneState:
 CHAIN_CAP = 1024   # valid chains per window before host fallback
 
 
-def grow_chains(gi, P, G, RS, st: WAState, ws, nmm_max_read, Lpad,
+def grow_chains(gi, P, G, RS, st: WAStateP, ws, nmm_max_read, Lpad,
                 chain_cap: int = CHAIN_CAP) -> LaneState:
     """DFS-equivalent chain enumeration, output-sensitive: the frontier holds
     every valid partial chain (the recursion's live include-paths); the
     include branch only extends chains whose stitch succeeded, so dead
     subsets never spawn descendants and 2^n masks never materialize
     (reference: the early-return pruning in stitchWindowAligns.cpp:336-351).
+    The reference's last-anchor must-include rule (WA_Anchor==2) is dead code
+    there — WlastAnchor is initialized to (uint)-1 so the marking never fires
+    (ReadAlign_stitchPieces.cpp:117,277) — and is therefore not modeled.
     Returns completed chains sorted in the recursion's DFS visit order."""
     B = ws.n_reads
-    bb, ww = np.nonzero((st.wa_n > 0) & ~st.fallback[:, None])
-    lanes = _empty_lanes(bb, ww)
+    live = np.nonzero((st.wa_n > 0) & ~st.fallback[st.pb])[0]
+    lanes = _empty_lanes(st.pb[live], st.pw[live], live)
+    NP = len(st.pb)
     smax = int(st.wa_n.max()) if st.wa_n.size else 0
     for s in range(smax):
         ok_read = ~st.fallback[lanes.b]
         if not ok_read.all():
             lanes = _lanes_take(lanes, np.nonzero(ok_read)[0])
-        cand = np.nonzero(s < st.wa_n[lanes.b, lanes.w])[0]
+        cand = np.nonzero(s < st.wa_n[lanes.prow])[0]
         if len(cand) == 0:
             continue
         inc = _lanes_take(lanes, cand)
         inc.mask = inc.mask | (np.int64(1) << s)
+        pr2 = inc.prow
         bb2 = inc.b
         ww2 = inc.w
-        rB = st.wa_rs[bb2, ww2, s]
-        gB = st.wa_gs[bb2, ww2, s]
-        L = st.wa_len[bb2, ww2, s]
-        fragB = st.wa_frag[bb2, ww2, s].astype(np.int64)
-        sjA = st.wa_sja[bb2, ww2, s]
-        nrepB = st.wa_nrep[bb2, ww2, s]
-        anchB = st.wa_anchor[bb2, ww2, s].astype(np.int64)
+        rB = st.wa_rs[pr2, s]
+        gB = st.wa_gs[pr2, s]
+        L = st.wa_len[pr2, s]
+        fragB = st.wa_frag[pr2, s].astype(np.int64)
+        sjA = st.wa_sja[pr2, s]
+        nrepB = st.wa_nrep[pr2, s]
+        anchB = st.wa_anchor[pr2, s].astype(np.int64)
         wstr = ws.win_str[bb2, ww2].astype(np.int64)
         row_all = bb2.astype(np.int64) + B * wstr
         nmm = nmm_max_read[bb2]
@@ -632,21 +703,19 @@ def grow_chains(gi, P, G, RS, st: WAState, ws, nmm_max_read, Lpad,
         grown = _lanes_take(inc, np.nonzero(inc.alive)[0])
         lanes = _lanes_concat(lanes, grown)
         # frontier cap: combinatorial windows go to the host oracle
-        w_max = ws.win_alive.shape[1]
-        keys = lanes.b.astype(np.int64) * w_max + lanes.w
-        cnt = np.bincount(keys, minlength=B * w_max)
+        cnt = np.bincount(lanes.prow, minlength=NP)
         over = np.nonzero(cnt > chain_cap)[0]
         if len(over):
-            st.fallback[over // w_max] = True
+            st.fallback[st.pb[over]] = True
             FB_STATS['chain_cap'] += len(over)
 
     sel = (lanes.mask != 0) & ~st.fallback[lanes.b]
     lanes = _lanes_take(lanes, np.nonzero(sel)[0])
     # DFS visit order: include-first recursion == descending bit-reversed
     # mask (seed 0 is the most significant decision)
-    n = st.wa_n[lanes.b, lanes.w].astype(np.int64)
+    n = st.wa_n[lanes.prow].astype(np.int64)
     rev = np.zeros(len(lanes.b), np.int64)
-    for s in range(int(st.wa_len.shape[2])):
+    for s in range(int(st.wa_len.shape[1])):
         bit = (lanes.mask >> s) & 1
         rev |= bit << np.maximum(n - 1 - s, 0)
     order = np.lexsort((-rev, lanes.w, lanes.b))
@@ -1510,8 +1579,8 @@ def finalize_lanes(gi, P, G, RS, lanes: LaneState, ws, nmm_max_read,
 # transcript recording/dedup), producing host Transcript objects
 # --------------------------------------------------------------------------
 
-def assemble(gi, P, lanes: LaneState, accept, ws: WindowsState, st: WAState,
-             lread):
+def assemble(gi, P, lanes: LaneState, accept, ws: WindowsState,
+             wa_n_dense, fallback, lread):
     """returns {read_i: (all_win_tr, maxScoreMate)} for non-fallback reads.
 
     Replays the engine's window loop and stitchWindowAligns' transcript
@@ -1525,7 +1594,7 @@ def assemble(gi, P, lanes: LaneState, accept, ws: WindowsState, st: WAState,
     oi = np.nonzero(ok)[0]
     results = {}
     if len(oi) == 0:
-        for b in np.nonzero(~st.fallback)[0]:
+        for b in np.nonzero(~fallback)[0]:
             results[int(b)] = ([], [0, 0])
         return results
 
@@ -1538,8 +1607,8 @@ def assemble(gi, P, lanes: LaneState, accept, ws: WindowsState, st: WAState,
     frl = lanes.ex_frag[oi, lanes.n_ex[oi] - 1].astype(np.int64)
     l_ifrag = np.where(fr0 == frl, fr0, -1).tolist()
     win_n_l = ws.win_n.tolist()
-    wa_n_l = st.wa_n.tolist()
-    fb_l = st.fallback.tolist()
+    wa_n_l = wa_n_dense.tolist()
+    fb_l = fallback.tolist()
     rng = P.outFilterMultimapScoreRange
     chim = P.chimSegmentMin > 0
     cap_possible = ws.win_alive.shape[1] * P.alignTranscriptsPerWindowNmax \
@@ -1621,7 +1690,7 @@ def assemble(gi, P, lanes: LaneState, accept, ws: WindowsState, st: WAState,
                 all_win_tr.append(win_tr)
         results[b] = (all_win_tr, msm)
     # reads with zero lanes at all
-    for b in np.nonzero(~st.fallback)[0]:
+    for b in np.nonzero(~fallback)[0]:
         if int(b) not in results:
             results[int(b)] = ([], [0, 0])
     return results
@@ -1698,53 +1767,32 @@ def fast_path_config_ok(gi, P) -> bool:
     return True
 
 
-def owner_window_flat(P, ws: WindowsState, read, a1, astr, chunk=1 << 22):
-    """vectorized winBin ownership over FLAT records (same semantics as
-    _owner_window: flanks are marked after all cores, highest-index flank
-    covering a bin beats any core mark).  Ownership is pure once windows are
-    built, so records owned by no window can be dropped before the
-    order-sensitive WA insertion scan — exactly like the reference's
-    `iW==uintWinBinMax -> return` early-out (assignAlignToWindow.cpp:10)."""
-    N = len(read)
-    out = np.full(N, -1, np.int64)
-    wix = np.arange(ws.win_alive.shape[1])[None, :]
-    for c0 in range(0, N, chunk):
-        c1 = min(c0 + chunk, N)
-        ri = read[c0:c1]
-        a_bin = (a1[c0:c1] >> P.winBinNbits)[:, None]
-        alive = ws.win_alive[ri] & (ws.win_str[ri] == astr[c0:c1, None])
-        core = alive & (ws.win_lo[ri] <= a_bin) & (a_bin <= ws.win_hi[ri])
-        flank = alive & (ws.win_flo[ri] <= a_bin) \
-            & (a_bin <= ws.win_fhi[ri]) & ~core
-        fk = np.where(flank, wix, -1).max(1)
-        ck = np.where(core, wix, -1).max(1)
-        out[c0:c1] = np.where(fk >= 0, fk, ck)
-    return out
-
-
 def _stitch_level(gi, P, recs, lread, read_fwd_u8, read_rc_u8, read_len2,
-                  nmm_max_read, w_max, s_max, chain_cap, arc_cap):
+                  nmm_max_read, w_max, s_max, chain_cap):
     """run the full windows->assign->grow->finalize->assemble pipeline on one
-    (sub-)batch at the given envelope.  Returns (fallback[B], results,
-    arc_over[B]) where arc_over marks reads whose surviving assign-record
-    count exceeded arc_cap (candidates for escalation, not true fallback)."""
+    (sub-)batch at the given envelope.  Returns (fallback[B], results)."""
     B = len(lread)
-    crec, cc = densify(recs, B, mask=recs["anchor"])
+    wbits = P.winBinNbits
+    n_bins = (int(gi.n_genome) >> wbits) + 2
+
+    # window creation consumes only the FIRST occurrence of each
+    # (read, strand, bin): window intervals only grow, so a bin seen before
+    # is always already contained (a no-op create).  Dedup collapses the
+    # dense scan width for repeat-heavy reads.
+    am = np.nonzero(recs["anchor"])[0]
+    key = ((recs["read"][am].astype(np.int64) * 2 + recs["strand"][am])
+           * n_bins + (recs["a1"][am] >> wbits))
+    _, firsts = np.unique(key, return_index=True)
+    cmask = np.zeros(len(recs["read"]), bool)
+    cmask[am[firsts]] = True
+    crec, cc = densify(recs, B, mask=cmask)
     ws = build_windows(gi, P, crec, cc, B, w_max=w_max)
-    # ownership pre-filter: drop records no window owns (vast majority for
-    # high-nrep seeds), so the dense assign scan width collapses
-    own = owner_window_flat(P, ws, recs["read"], recs["a1"], recs["strand"])
-    keep = own >= 0
+
+    own = compute_owner(P, gi, ws, recs["read"], recs["a1"], recs["strand"])
+    keep = (own >= 0) & ~ws.fallback[recs["read"]]
     recs_k = {k: v[keep] for k, v in recs.items()}
     recs_k["own"] = own[keep]
-    arc = np.bincount(recs_k["read"], minlength=B)
-    arc_over = arc > arc_cap
-    if arc_over.any():
-        m2 = ~arc_over[recs_k["read"]]
-        recs_k = {k: v[m2] for k, v in recs_k.items()}
-    arec, ac = densify(recs_k, B)
-    st = assign_seeds(gi, P, ws, arec, ac, s_max=s_max)
-    st.fallback |= arc_over
+    st = assign_pairs(gi, P, ws, recs_k, s_max)
     G = gi.G if gi.G.dtype == np.uint8 else gi.G.view(np.uint8)
     RS = np.concatenate([read_fwd_u8, read_rc_u8], axis=0)
     Lpad = read_fwd_u8.shape[1] + 2
@@ -1752,15 +1800,17 @@ def _stitch_level(gi, P, recs, lread, read_fwd_u8, read_rc_u8, read_len2,
                         chain_cap=chain_cap)
     accept = finalize_lanes(gi, P, G, RS, lanes, ws, nmm_max_read,
                             read_len2, lread, Lpad)
-    results = assemble(gi, P, lanes, accept, ws, st, lread)
-    return st.fallback, results, arc_over
+    results = assemble(gi, P, lanes, accept, ws, st.wa_n_dense, st.fallback,
+                       lread)
+    return st.fallback, results
 
 
-# escalation levels: (record-count bound, W, S, chain cap, assign-rec cap).
-# Level 0 covers ~99% of reads with tight shapes; overflow reads re-run at
-# level 1; only reads beyond level 1 take the per-read host oracle.
-LEVELS = ((2048, W_MAX, S_MAX, CHAIN_CAP, 512),
-          (1 << 17, 32, 50, 16384, 16384))
+# escalation levels: (W, S, chain cap).  Level 0 covers ~99% of reads with
+# tight shapes; overflow reads re-run at level 1 (wide W is cheap because
+# the WA table is pair-keyed); only reads beyond level 1 take the per-read
+# host oracle.
+LEVELS = ((W_MAX, S_MAX, CHAIN_CAP),
+          (512, 50, 16384))
 
 
 def _slice_seed_recs(recs, read_mask, new_index):
@@ -1778,27 +1828,26 @@ def stitch_batch(gi, P, seeds: SeedArrays, read_fwd_u8, read_rc_u8,
     Returns (fallback[B] bool, {read: (all_win_tr, maxScoreMate)})."""
     B = len(lread)
     recs = expand_hits(gi, P, seeds, lread, B)
-    rc = np.bincount(recs["read"], minlength=B)
 
     fallback = np.ones(B, bool)
     results = {}
-    # reads beyond the last level's record bound go straight to the oracle
-    todo = rc <= LEVELS[-1][0]
-    FB_STATS["rec_cap"] += int(B - todo.sum())
-    for li, (rc_cap, w_max, s_max, chain_cap, arc_cap) in enumerate(LEVELS):
-        run = todo & (rc <= rc_cap)
-        if li + 1 == len(LEVELS):
-            run = todo      # last level takes every remaining read
-        idx = np.nonzero(run)[0]
+    todo = np.ones(B, bool)
+    for li, (w_max, s_max, chain_cap) in enumerate(LEVELS):
+        idx = np.nonzero(todo)[0]
         if len(idx) == 0:
-            continue
-        new_index = np.zeros(B, np.int64)
-        new_index[idx] = np.arange(len(idx))
-        sub = _slice_seed_recs(recs, run, new_index)
-        fb_s, res_s, arc_over = _stitch_level(
-            gi, P, sub, lread[idx], read_fwd_u8[idx], read_rc_u8[idx],
-            read_len2[idx], nmm_max_read[idx], w_max, s_max, chain_cap,
-            arc_cap)
+            break
+        if len(idx) == B:
+            sub = recs
+            fb_s, res_s = _stitch_level(
+                gi, P, sub, lread, read_fwd_u8, read_rc_u8, read_len2,
+                nmm_max_read, w_max, s_max, chain_cap)
+        else:
+            new_index = np.zeros(B, np.int64)
+            new_index[idx] = np.arange(len(idx))
+            sub = _slice_seed_recs(recs, todo, new_index)
+            fb_s, res_s = _stitch_level(
+                gi, P, sub, lread[idx], read_fwd_u8[idx], read_rc_u8[idx],
+                read_len2[idx], nmm_max_read[idx], w_max, s_max, chain_cap)
         done_s = ~fb_s
         done_idx = idx[done_s]
         fallback[done_idx] = False

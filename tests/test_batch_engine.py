@@ -50,9 +50,13 @@ def _run_case(idx_dir, reads_files, extra=()):
     lread = np.asarray(lreads, np.int64)
     recs = be.expand_hits(gi, P, sa, lread, n)
     crec, cc = be.densify(recs, n, mask=recs["anchor"])
-    arec, ac = be.densify(recs, n)
     ws = be.build_windows(gi, P, crec, cc, n)
-    st = be.assign_seeds(gi, P, ws, arec, ac)
+    own = be.compute_owner(P, gi, ws, recs["read"], recs["a1"],
+                           recs["strand"])
+    keep = (own >= 0) & ~ws.fallback[recs["read"]]
+    recs_k = {k: v[keep] for k, v in recs.items()}
+    recs_k["own"] = own[keep]
+    st = be.assign_pairs(gi, P, ws, recs_k, be.S_MAX)
     return host_ws, ws, st, n
 
 
@@ -89,15 +93,17 @@ def test_windows_and_assignment_match_host(idx_dir, reads, extra):
             # host wc[2],wc[3] are post-flank extents
             assert hwc[2] == ws.win_flo[i, w], (i, w, hwc, ws.win_flo[i, w])
             assert hwc[3] == ws.win_fhi[i, w]
-            # seed table
+            # seed table (pair-keyed WA rows)
             hwa = hw.wa[w]
-            assert int(st.wa_n[i, w]) == len(hwa), (i, w, hwa,
-                                                    st.wa_n[i, w])
+            pr = np.nonzero((st.pb == i) & (st.pw == w))[0]
+            n_got = int(st.wa_n[pr[0]]) if len(pr) else 0
+            assert n_got == len(hwa), (i, w, hwa, n_got)
             for s, row in enumerate(hwa):
-                got = [int(st.wa_len[i, w, s]), int(st.wa_rs[i, w, s]),
-                       int(st.wa_gs[i, w, s]), int(st.wa_nrep[i, w, s]),
-                       int(st.wa_anchor[i, w, s]), int(st.wa_frag[i, w, s]),
-                       int(st.wa_sja[i, w, s])]
+                r = pr[0]
+                got = [int(st.wa_len[r, s]), int(st.wa_rs[r, s]),
+                       int(st.wa_gs[r, s]), int(st.wa_nrep[r, s]),
+                       int(st.wa_anchor[r, s]), int(st.wa_frag[r, s]),
+                       int(st.wa_sja[r, s])]
                 assert got == [int(x) for x in row], (i, w, s, got, row)
     # the fast path must cover the bulk of reads
     assert n_fb <= n * 0.5

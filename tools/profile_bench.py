@@ -31,11 +31,15 @@ def main():
     os.makedirs("/tmp/star_tpu_bench_chr20/prof", exist_ok=True)
 
     from star_tpu.ops.pipeline import DeviceAligner, TIMERS, timing_report
+    tw = time.time()
     DeviceAligner(gi, P).warm_buckets(102)
+    print(f"[warm_buckets: {time.time()-tw:.0f}s]", flush=True)
+    tw = time.time()
     Pw = P.clone(readMapNumber=3000,
                  outFileNamePrefix="/tmp/star_tpu_bench_chr20/warm/")
     os.makedirs("/tmp/star_tpu_bench_chr20/warm", exist_ok=True)
     align_reads(Pw, gi=gi)
+    print(f"[warm runs: {time.time()-tw:.0f}s]", flush=True)
     TIMERS.clear()
 
     t0 = time.time()
