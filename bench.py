@@ -21,6 +21,8 @@ import subprocess
 import sys
 import time
 
+os.environ.setdefault("STAR_TPU_TIMING", "1")
+
 ROOT = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, ROOT)
 
@@ -75,10 +77,16 @@ def main():
     Pw2 = Pw.clone(readMapNumber=64)
     align_reads(Pw2, gi=gi)
 
+    from star_tpu.ops.pipeline import TIMERS
+    from star_tpu.ops.batch_engine import FB_STATS
+    TIMERS.clear()
+    FB_STATS.clear()
     t0 = time.time()
     stats = align_reads(P, gi=gi)
     dt = time.time() - t0
     reads_per_sec = stats.read_n / dt
+    phases = {k: round(v, 2) for k, v in sorted(TIMERS.items())}
+    phases["other"] = round(dt - sum(TIMERS.values()), 2)
 
     # kernel-only rate: batched MMP probes/s on the chr-scale index
     import jax
@@ -129,6 +137,8 @@ def main():
             "hbm_bw_fraction": round(hbm_bw_fraction, 4),
             "baseline_ref_reads_per_sec_1thread": BASELINE_REF_READS_PER_SEC,
             "n_reads": stats.read_n,
+            "phases_sec": phases,
+            "oracle_fallback_reads": int(FB_STATS.get("env_final", 0)),
         },
     }
     print(json.dumps(result))

@@ -135,3 +135,154 @@ int64_t sa_sort_suffixes(const int8_t *t2, int64_t n, int64_t *out_sa,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// RAM-bounded chunked variant for mammal-scale builds (the analog of the
+// reference's prefix-bucket chunking with disk spill,
+// source/Genome_genomeGenerate.cpp:221-331; implementation is our own):
+// suffixes are keyed by their first 8 characters in base-6 (codes 0-5;
+// everything after a spacer clamps to 5, making the key order-consistent
+// with the spacer-terminates comparison rule), the key histogram partitions
+// the key space into chunks whose SA slice fits ram_cap bytes, and each
+// chunk is counting-sorted by key then comparator-sorted per equal-key group
+// (OpenMP) and appended to out_path as raw int64 rows.  Only one chunk of
+// positions is ever resident; the text itself stays in RAM.
+// ---------------------------------------------------------------------------
+
+#include <cstdio>
+
+namespace {
+
+const int KEY_CHARS = 8;
+const int64_t NKEY = 1679616;  // 6^8
+
+inline int64_t suffix_key8(int64_t p) {
+    int64_t key = 0;
+    bool sp = false;
+    for (int j = 0; j < KEY_CHARS; j++) {
+        int c = gT2[p + j];
+        if (sp || c >= 5) { sp = true; c = 5; }
+        key = key * 6 + c;
+    }
+    return key;
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t sa_sort_chunked(const int8_t *t2, int64_t n, const char *out_path,
+                        int64_t ram_cap_bytes, int n_threads) {
+    gT2 = reinterpret_cast<const uint8_t *>(t2);
+    gN = n;
+#ifdef _OPENMP
+    if (n_threads > 0) omp_set_num_threads(n_threads);
+#endif
+
+    // pass 1: key histogram (parallel with per-thread histograms)
+    std::vector<int64_t> hist(NKEY, 0);
+#ifdef _OPENMP
+#pragma omp parallel
+    {
+        std::vector<int64_t> local(NKEY, 0);
+#pragma omp for schedule(static)
+        for (int64_t p = 0; p < n; p++)
+            if (gT2[p] < 4) local[suffix_key8(p)]++;
+#pragma omp critical
+        for (int64_t k = 0; k < NKEY; k++) hist[k] += local[k];
+    }
+#else
+    for (int64_t p = 0; p < n; p++)
+        if (gT2[p] < 4) hist[suffix_key8(p)]++;
+#endif
+
+    int64_t cap_rows = ram_cap_bytes / 8;
+    if (cap_rows < 1) cap_rows = 1;
+
+    FILE *out = std::fopen(out_path, "wb");
+    if (!out) return -1;
+
+    int64_t total = 0;
+    int64_t k0 = 0;
+    std::vector<int64_t> buf;
+    std::vector<int64_t> off(NKEY + 1);
+    while (k0 < NKEY) {
+        // grow [k0, k1) until the chunk would exceed the cap (always take
+        // at least one key; a single over-cap key still sorts, just bigger)
+        int64_t k1 = k0;
+        int64_t rows = 0;
+        while (k1 < NKEY && (rows == 0 || rows + hist[k1] <= cap_rows)) {
+            rows += hist[k1];
+            k1++;
+        }
+        if (rows > 0) {
+            buf.resize(rows);
+            // per-key write offsets within the chunk
+            int64_t acc = 0;
+            for (int64_t k = k0; k < k1; k++) {
+                off[k - k0] = acc;
+                acc += hist[k];
+            }
+            off[k1 - k0] = acc;
+            std::vector<int64_t> cursor(off.begin(), off.begin() + (k1 - k0));
+            for (int64_t p = 0; p < n; p++) {
+                if (gT2[p] >= 4) continue;
+                int64_t k = suffix_key8(p);
+                if (k < k0 || k >= k1) continue;
+                buf[cursor[k - k0]++] = p;
+            }
+            // comparator sort per equal-key group
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 16)
+#endif
+            for (int64_t k = k0; k < k1; k++) {
+                int64_t a = off[k - k0], b = off[k - k0 + 1];
+                if (b - a > 1)
+                    std::sort(buf.begin() + a, buf.begin() + b, suffix_less);
+            }
+            if (std::fwrite(buf.data(), sizeof(int64_t), rows, out)
+                    != (size_t)rows) {
+                std::fclose(out);
+                return -1;
+            }
+            total += rows;
+        }
+        k0 = k1;
+    }
+    std::fclose(out);
+    return total;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Incremental SA insertion (the analog of the reference's on-the-fly
+// junction insertion, source/sjdbBuildIndex.cpp:52-88 + insertSeqSA.cpp:18;
+// implementation is our own): sort the NEW suffix positions with the same
+// comparator, then binary-search each one's insertion rank among the OLD
+// (position-adjusted) SA rows.  The caller merges by rank.  Comparisons read
+// the NEW text, so old rows must already be adjusted to new-text positions.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+int64_t sa_insert_ranks(const int8_t *t2, int64_t n, const int64_t *old_sa,
+                        int64_t n_old, int64_t *new_pos, int64_t n_new,
+                        int64_t *out_ranks, int n_threads) {
+    gT2 = reinterpret_cast<const uint8_t *>(t2);
+    gN = n;
+#ifdef _OPENMP
+    if (n_threads > 0) omp_set_num_threads(n_threads);
+#endif
+    std::sort(new_pos, new_pos + n_new, suffix_less);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t i = 0; i < n_new; i++) {
+        out_ranks[i] = std::lower_bound(old_sa, old_sa + n_old, new_pos[i],
+                                        suffix_less) - old_sa;
+    }
+    return n_new;
+}
+
+}  // extern "C"

@@ -27,8 +27,25 @@ def sort_suffixes(t2: np.ndarray) -> np.ndarray:
     of t2, in lexicographic order (spacer-terminated, position tie-break).
 
     Uses the native C++ sorter when built (tools/build_native.sh); the numpy
-    prefix-doubling path below is the always-available reference."""
-    from .native import sort_suffixes_native
+    prefix-doubling path below is the always-available reference.
+
+    Mammal-scale (SA bytes above STAR_TPU_SORT_RAM, default 8 GiB): the
+    RAM-bounded chunked sorter spills sorted chunks to disk and returns a
+    memmap (reference analog: prefix-bucket chunking in
+    Genome_genomeGenerate.cpp:221-331)."""
+    import os
+    from .native import sort_suffixes_chunked, sort_suffixes_native
+    ram_cap = int(os.environ.get("STAR_TPU_SORT_RAM", 8 << 30))
+    if len(t2) * 8 > ram_cap:
+        import tempfile
+        out = os.environ.get("STAR_TPU_SORT_SPILL")
+        if out is None:
+            fd, out = tempfile.mkstemp(suffix=".sa.i64",
+                                       prefix="star_tpu_sort_")
+            os.close(fd)
+        sa = sort_suffixes_chunked(t2, out, ram_cap)
+        if sa is not None:
+            return sa
     sa = sort_suffixes_native(t2)
     if sa is not None:
         return sa

@@ -39,6 +39,16 @@ def _load():
         lib.sa_sort_suffixes.argtypes = [
             ctypes.POINTER(ctypes.c_int8), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int]
+        lib.sa_sort_chunked.restype = ctypes.c_int64
+        lib.sa_sort_chunked.argtypes = [
+            ctypes.POINTER(ctypes.c_int8), ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int]
+        lib.sa_insert_ranks.restype = ctypes.c_int64
+        lib.sa_insert_ranks.argtypes = [
+            ctypes.POINTER(ctypes.c_int8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int]
         _lib = lib
     except OSError:
         # corrupt/incompatible object: remove it so the next run rebuilds
@@ -91,3 +101,56 @@ def sort_suffixes_native(t2: np.ndarray, n_threads: int = 0):
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         ctypes.c_int(n_threads))
     return out[:m].copy()
+
+
+def sort_suffixes_chunked(t2: np.ndarray, out_path: str,
+                          ram_cap_bytes: int, n_threads: int = 0):
+    """RAM-bounded suffix sort with disk spill (mammal-scale builds): the SA
+    is written to out_path chunk by chunk in final sorted order and returned
+    as a read-only int64 memmap; peak resident SA memory is ~ram_cap_bytes
+    (the text itself stays in RAM).  Returns None if the native library is
+    unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(t2)
+    t2p = np.concatenate([t2.astype(np.int8), np.full(16, 5, dtype=np.int8)])
+    m = lib.sa_sort_chunked(
+        t2p.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        ctypes.c_int64(n), out_path.encode(),
+        ctypes.c_int64(ram_cap_bytes), ctypes.c_int(n_threads))
+    if m < 0:
+        raise OSError(f"sa_sort_chunked failed writing {out_path}")
+    return np.memmap(out_path, dtype=np.int64, mode="r", shape=(m,))
+
+
+def sa_insert_positions(t2_new: np.ndarray, old_sa_adjusted: np.ndarray,
+                        new_positions: np.ndarray, n_threads: int = 0):
+    """merge new suffix positions into an already-sorted SA: sorts the new
+    positions and binary-searches each insertion rank over the old rows
+    (reference sjdbBuildIndex.cpp:52-88), then rank-merges.  Returns the
+    merged SA or None if the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    t2p = np.concatenate([t2_new.astype(np.int8),
+                          np.full(16, 5, dtype=np.int8)])
+    old = np.ascontiguousarray(old_sa_adjusted, dtype=np.int64)
+    new = np.ascontiguousarray(new_positions, dtype=np.int64).copy()
+    ranks = np.empty(len(new), dtype=np.int64)
+    lib.sa_insert_ranks(
+        t2p.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        ctypes.c_int64(len(t2_new)),
+        old.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(len(old)),
+        new.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(len(new)),
+        ranks.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int(n_threads))
+    out = np.empty(len(old) + len(new), dtype=np.int64)
+    new_final = ranks + np.arange(len(new), dtype=np.int64)
+    out[new_final] = new
+    mask = np.ones(len(out), dtype=bool)
+    mask[new_final] = False
+    out[mask] = old
+    return out

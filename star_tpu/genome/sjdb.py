@@ -5,13 +5,14 @@ left-shift collapse, priority dedup, strand-collision resolution, pseudo-
 sequence construction, sjdbInfo.txt/sjdbList.out.tab), source/
 sjdbInsertJunctions.cpp (orchestration).
 
-Insertion strategy differs from the reference by design: instead of the
-incremental SA insertion (reference: sjdbBuildIndex.cpp/insertSeqSA.cpp) we
-rebuild the suffix array over the junction-extended genome.  The resulting
-SA/SAi are bit-identical to the reference's insertion (validated against the
-reference's own GTF index in tests), the rebuild vectorises cleanly, and for
-mapping-time insertion the cost is acceptable until the merge-insert kernel
-lands.
+Insertion is incremental like the reference (sjdbBuildIndex.cpp/
+insertSeqSA.cpp): the new junction-region suffixes are comparator-sorted and
+rank-merged into the pristine index's SA by parallel binary search
+(native/sa_sort.cpp sa_insert_ranks), avoiding a full re-sort; the SAi is
+rebuilt by the vectorized chunked scan.  A full re-sort remains as the
+fallback (no native lib, or a chromosome ending flush on a bin boundary).
+The resulting SA/SAi are bit-identical to the reference's insertion
+(validated against the reference's own GTF index in tests).
 """
 from __future__ import annotations
 
@@ -171,6 +172,37 @@ def write_sjdb_files(res, gi, out_dir: str):
                     f"{strand_char[res['strand'][i]]}\n")
 
 
+def _insert_or_rebuild_sa(gi, t2_new, n_real):
+    """SA over the junction-extended text: incremental rank-merge of the new
+    sj-region suffixes into the pristine index's SA when possible (reference
+    sjdbBuildIndex.cpp:52-88), full re-sort otherwise.
+
+    Old rows stay validly ordered in the new text because (a) forward
+    positions < n_real are unchanged, (b) revcomp(G) positions shift by
+    2*L_sj but keep identical suffix content (revcomp(G) remains the final
+    text segment), and (c) suffixes never read across region boundaries —
+    chromosome-bin spacer padding terminates comparison first.  The one
+    unguarded corner is a chromosome ending flush on a bin boundary (no
+    padding spacer), where forward suffixes near the genome end could read
+    into the (changed) following region: fall back to the full re-sort."""
+    from .native import sa_insert_positions
+    n0 = len(gi.t2) // 2 if gi.sjdb_n == 0 else -1
+    bin_n = np.int64(1) << gi.chr_bin_nbits
+    flush = bool((np.asarray(gi.chr_length) % bin_n == 0).any())
+    n1 = len(t2_new) // 2
+    if (n0 == n_real and not flush and len(gi.sa) and n1 > n0):
+        l_sj = n1 - n0
+        old = np.asarray(gi.sa, dtype=np.int64)
+        old_adj = np.where(old >= n0, old + 2 * l_sj, old)
+        # new suffixes: forward sj region [n0, n1) + revcomp(sj) [n1, n1+L)
+        cand = np.concatenate([np.arange(n0, n1), np.arange(n1, n1 + l_sj)])
+        cand = cand[t2_new[cand] < 4]
+        sa = sa_insert_positions(t2_new, old_adj, cand)
+        if sa is not None:
+            return sa
+    return sort_suffixes(t2_new)
+
+
 def insert_junctions(gi, sjdb: SjdbLoci, P, out_dir: str = None):
     """prepare junctions + rebuild index on the junction-extended genome;
     returns a new GenomeIndex."""
@@ -200,7 +232,7 @@ def insert_junctions(gi, sjdb: SjdbLoci, P, out_dir: str = None):
         # position base+2*overhang stays the spacer separator
 
     t2 = build_t2(G2)
-    sa = sort_suffixes(t2)
+    sa = _insert_or_rebuild_sa(gi, t2, n_real)
     sai = build_sai(t2, sa, gi.sa_index_nbases)
     return GenomeIndex(
         G=G2, t2=t2, sa=sa,

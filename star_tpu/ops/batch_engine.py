@@ -432,9 +432,13 @@ def assign_pairs(gi, P, ws: WindowsState, rr: dict, s_max: int) -> WAStateP:
     surviving record of every pair concurrently.  rr: flat ownership-filtered
     records (arrival order preserved) with an "own" window-slot field.
 
-    WALrec gates are no-ops here: the reference only raises WALrec in its
-    window-full eviction branch (assignAlignToWindow.cpp:70-103), and pairs
-    reaching seedPerWindowNmax fall back to the host oracle instead."""
+    Occupancy after k records is <= k, so every row operation is sliced to
+    the live slot width — total traffic is sum_k active(k)*k instead of
+    Kmax*NP*S.  The reference's window-full eviction (assignAlignToWindow
+    .cpp:70-103: recompute WALrec as the min non-anchor length, drop
+    shorter-than-min non-anchors, then gate future records on WALrec) runs
+    batched when s_max == seedPerWindowNmax; the too-many-anchors corner
+    (MARKER_TOO_MANY_ANCHORS_PER_WINDOW) falls back to the oracle."""
     B = ws.n_reads
     W = ws.win_alive.shape[1]
     fallback = ws.fallback.copy()
@@ -457,40 +461,61 @@ def assign_pairs(gi, P, ws: WindowsState, rr: dict, s_max: int) -> WAStateP:
         fallback=fallback)
     if NP == 0:
         return st
-    # position of each record within its pair, arrival order preserved
+    # flat records sorted by (pair, arrival): record k of pair p sits at
+    # startp[p] + k — no [NP, Kmax] dense materialization
     order = np.argsort(inv, kind="stable")
     startp = np.zeros(NP, np.int64)
     startp[1:] = np.cumsum(counts)[:-1]
-    pos = np.empty(len(inv), np.int64)
-    pos[order] = np.arange(len(inv)) - startp[inv[order]]
-    dense = {}
-    for kname in ("a1", "length", "rs", "nrep", "frag", "sja", "anchor"):
-        v = rr[kname]
-        d = np.zeros((NP, Kw), v.dtype)
-        d[inv, pos] = v
-        dense[kname] = d
+    srt = {kname: rr[kname][order]
+           for kname in ("a1", "length", "rs", "nrep", "frag", "sja",
+                         "anchor")}
+    wa_lrec = np.zeros(NP, np.int64)
 
-    srange = np.arange(s_max)
-    for k in range(Kw):
-        pi = np.nonzero((k < counts) & ~st.fallback[st.pb])[0]
-        if len(pi) == 0:
-            if not ((counts > k) & ~st.fallback[st.pb]).any():
-                break
-            continue
-        a1 = dense["a1"][pi, k]
-        L = dense["length"][pi, k]
-        rs = dense["rs"][pi, k]
-        nrep = dense["nrep"][pi, k]
-        frag = dense["frag"][pi, k]
-        sja = dense["sja"][pi, k]
-        anchor = dense["anchor"][pi, k]
+    # ---- k = 0: the first record of every pair always inserts at slot 0
+    f0 = startp
+    st.wa_len[:, 0] = srt["length"][f0]
+    st.wa_rs[:, 0] = srt["rs"][f0]
+    st.wa_gs[:, 0] = srt["a1"][f0]
+    st.wa_nrep[:, 0] = srt["nrep"][f0]
+    st.wa_anchor[:, 0] = srt["anchor"][f0]
+    st.wa_frag[:, 0] = srt["frag"][f0]
+    st.wa_sja[:, 0] = srt["sja"][f0]
+    st.wa_n[:] = 1
 
+    remaining = np.nonzero(counts > 1)[0]
+    for k in range(1, Kw):
+        remaining = remaining[(counts[remaining] > k)
+                              & ~st.fallback[st.pb[remaining]]]
+        if len(remaining) == 0:
+            break
+        pi = remaining
+        fk = startp[pi] + k
+        a1 = srt["a1"][fk]
+        L = srt["length"][fk]
+        rs = srt["rs"][fk]
+        nrep = srt["nrep"][fk]
+        frag = srt["frag"][fk]
+        sja = srt["sja"][fk]
+        anchor = srt["anchor"][fk]
+
+        # WALrec entry gate (only meaningful after an eviction)
+        lrec = wa_lrec[pi]
+        keep = anchor.astype(bool) | ~(L < lrec)
+        if not keep.all():
+            pi, a1, L, rs, nrep, frag, sja, anchor, lrec = [
+                x[keep] for x in (pi, a1, L, rs, nrep, frag, sja, anchor,
+                                  lrec)]
+            if len(pi) == 0:
+                continue
+
+        wk = min(k, s_max)
+        srange = np.arange(wk)
         n = st.wa_n[pi]
-        rows_len = st.wa_len[pi]
-        rows_rs = st.wa_rs[pi]
-        rows_gs = st.wa_gs[pi]
-        rows_frag = st.wa_frag[pi]
-        rows_sja = st.wa_sja[pi]
+        rows_len = st.wa_len[pi, :wk]
+        rows_rs = st.wa_rs[pi, :wk]
+        rows_gs = st.wa_gs[pi, :wk]
+        rows_frag = st.wa_frag[pi, :wk]
+        rows_sja = st.wa_sja[pi, :wk]
         occupied = srange[None, :] < n[:, None]
 
         ovl = occupied \
@@ -516,7 +541,7 @@ def assign_pairs(gi, P, ws: WindowsState, rr: dict, s_max: int) -> WAStateP:
             ia0 = np.where(ia0 > ia[ri], ia0 - 1, ia0)
             q = srange[None, :] - (srange[None, :] > ia0[:, None])
             src = q + (q >= ia[ri][:, None])
-            src = np.clip(src, 0, s_max - 1)
+            src = np.clip(src, 0, wk - 1)
             rrn = np.arange(len(ri))[:, None]
             pp = pi[ri]
             is_new = srange[None, :] == ia0[:, None]
@@ -525,40 +550,85 @@ def assign_pairs(gi, P, ws: WindowsState, rr: dict, s_max: int) -> WAStateP:
                     (st.wa_nrep, nrep),
                     (st.wa_anchor, anchor.astype(np.int8)),
                     (st.wa_frag, frag), (st.wa_sja, sja)]:
-                rows = arr[pp]
+                rows = arr[pp, :wk]
                 out = np.where(is_new, newv[ri][:, None], rows[rrn, src])
-                arr[pp] = out.astype(arr.dtype)
+                arr[pp, :wk] = out.astype(arr.dtype)
 
         # ---- insert path
         ins = ~has_ovl
         if ins.any():
             ii = np.nonzero(ins)[0]
             full = n[ii] >= P.seedPerWindowNmax
-            st.fallback[st.pb[pi[ii[full]]]] = True
-            FB_STATS['seed_full50'] += int(full.sum())
-            ii = ii[~full]
+            if full.any():
+                # window-full eviction (assignAlignToWindow.cpp:70-103):
+                # WALrec = min non-anchor length (updated for EVERY
+                # triggering record); compaction only runs when the new
+                # record itself survives the recheck (the reference returns
+                # before compacting otherwise)
+                fi = ii[full]
+                pp = pi[fi]
+                rows_a = st.wa_anchor[pp] == 1
+                rows_l = st.wa_len[pp]
+                big = np.int64(1) << 60
+                lrec_new = np.where(rows_a, big, rows_l).min(axis=1)
+                all_anchor = lrec_new >= big
+                if all_anchor.any():
+                    # MARKER_TOO_MANY_ANCHORS_PER_WINDOW -> host oracle
+                    st.fallback[st.pb[pp[all_anchor]]] = True
+                    FB_STATS['too_many_anchors'] += int(all_anchor.sum())
+                wa_lrec[pp] = lrec_new
+                do_c = (~all_anchor
+                        & (anchor[fi].astype(bool) | ~(L[fi] < lrec_new)))
+                if do_c.any():
+                    pp = pp[do_c]
+                    keep_m = rows_a[do_c] \
+                        | (rows_l[do_c] > lrec_new[do_c, None])
+                    kn = keep_m.sum(axis=1).astype(np.int32)
+                    dst = np.cumsum(keep_m, axis=1) - 1
+                    ri_, ci_ = np.nonzero(keep_m)
+                    di_ = dst[ri_, ci_]
+                    for arr in (st.wa_len, st.wa_rs, st.wa_gs, st.wa_nrep,
+                                st.wa_anchor, st.wa_frag, st.wa_sja):
+                        rows = arr[pp]
+                        out = np.full_like(
+                            rows, -1 if arr is st.wa_sja else 0)
+                        out[ri_, di_] = rows[ri_, ci_]
+                        arr[pp] = out
+                    st.wa_n[pp] = kn
+                n = st.wa_n[pi]
+                # re-load recorded rows for the insert scan below
+                rows_rs = st.wa_rs[pi, :wk]
+                lrec = wa_lrec[pi]
+            # WALrec insert gate (anchor || L > WALrec); equality drops
+            gate = anchor[ii].astype(bool) | (L[ii] > lrec[ii])
+            ii = ii[gate]
             if len(ii):
                 over = n[ii] >= s_max
+                if s_max >= P.seedPerWindowNmax:
+                    # can only happen in the too-many-anchors corner
+                    over &= ~st.fallback[st.pb[pi[ii]]]
                 st.fallback[st.pb[pi[ii[over]]]] = True
                 FB_STATS['seed_smax'] += int(over.sum())
                 ii = ii[~over]
             if len(ii):
+                wk1 = min(k + 1, s_max)
+                sr1 = np.arange(wk1)
                 cond = (rs[ii][:, None] < rows_rs[ii]) \
                     & (srange[None, :] < n[ii][:, None])
                 pos2 = np.where(cond.any(1), np.argmax(cond, axis=1), n[ii])
                 pp = pi[ii]
-                shift = srange[None, :] >= pos2[:, None]
+                shift = sr1[None, :] >= pos2[:, None]
                 for arr, newv in [
                         (st.wa_len, L), (st.wa_rs, rs), (st.wa_gs, a1),
                         (st.wa_nrep, nrep),
                         (st.wa_anchor, anchor.astype(np.int8)),
                         (st.wa_frag, frag), (st.wa_sja, sja)]:
-                    rows = arr[pp]
+                    rows = arr[pp, :wk1]
                     out = rows.copy()
                     out[:, 1:] = np.where(shift[:, 1:], rows[:, :-1],
                                           rows[:, 1:])
                     out[np.arange(len(ii)), pos2] = newv[ii]
-                    arr[pp] = out
+                    arr[pp, :wk1] = out
                 st.wa_n[pp] = n[ii] + 1
     st.wa_n_dense[st.pb, st.pw] = st.wa_n
     return st
@@ -1579,8 +1649,52 @@ def finalize_lanes(gi, P, G, RS, lanes: LaneState, ws, nmm_max_read,
 # transcript recording/dedup), producing host Transcript objects
 # --------------------------------------------------------------------------
 
+class _LaneTr:
+    """lazy stand-in for a Transcript during assemble/multMapSelect: holds
+    only the scalars those stages read (duck-typed so blocks_overlap and the
+    top-list comparisons work unchanged); the full Transcript — exon and
+    junction lists, ~20 python objects each — is materialized on demand,
+    i.e. only for reads whose output actually needs it.  A 500-window junk
+    read that ends 'mapped to too many loci' materializes ONE transcript
+    instead of 500."""
+    __slots__ = ("lanes", "ws", "li", "nExons", "maxScore", "iFrag", "b",
+                 "w", "Lread", "mappedLength", "gLength", "nMatch", "nMM",
+                 "_exons")
+
+    def __init__(self, lanes, ws, li, ne, score, ifrag, b, w, Lread,
+                 ml, gl, nmatch, nmm):
+        self.lanes = lanes
+        self.ws = ws
+        self.li = li
+        self.nExons = ne
+        self.maxScore = score
+        self.iFrag = ifrag
+        self.b = b
+        self.w = w
+        self.Lread = Lread
+        self.mappedLength = ml
+        self.gLength = gl
+        self.nMatch = nmatch
+        self.nMM = nmm
+        self._exons = None
+
+    @property
+    def exons(self):
+        if self._exons is None:
+            l = self.lanes
+            li = self.li
+            self._exons = [[int(l.ex_rs[li, e]), int(l.ex_gs[li, e]),
+                            int(l.ex_len[li, e])] for e in range(self.nExons)]
+        return self._exons
+
+    def materialize(self, gi, P):
+        return _lane_to_transcript(gi, P, self.lanes, self.li, self.nExons,
+                                   self.maxScore, self.iFrag, self.ws,
+                                   self.b, self.w, self.Lread)
+
+
 def assemble(gi, P, lanes: LaneState, accept, ws: WindowsState,
-             wa_n_dense, fallback, lread):
+             wa_n_dense, fallback, lread, lazy=False):
     """returns {read_i: (all_win_tr, maxScoreMate)} for non-fallback reads.
 
     Replays the engine's window loop and stitchWindowAligns' transcript
@@ -1606,6 +1720,13 @@ def assemble(gi, P, lanes: LaneState, accept, ws: WindowsState,
     fr0 = lanes.ex_frag[oi, 0].astype(np.int64)
     frl = lanes.ex_frag[oi, lanes.n_ex[oi] - 1].astype(np.int64)
     l_ifrag = np.where(fr0 == frl, fr0, -1).tolist()
+    if lazy:
+        nE = lanes.n_ex[oi].astype(np.int64)
+        occ = np.arange(MAX_N_EXONS)[None, :] < nE[:, None]
+        l_ml = np.where(occ, lanes.ex_len[oi], 0).sum(axis=1).tolist()
+        l_gl = (lanes.tG2[oi] + 1 - lanes.ex_gs[oi, 0]).tolist()
+        l_nmatch = lanes.n_match[oi].tolist()
+        l_nmm = lanes.n_mm[oi].tolist()
     win_n_l = ws.win_n.tolist()
     wa_n_l = wa_n_dense.tolist()
     fb_l = fallback.tolist()
@@ -1658,9 +1779,14 @@ def assemble(gi, P, lanes: LaneState, accept, ws: WindowsState,
                         or (ifrag >= 0 and score + rng >= msm[ifrag])
                         or chim):
                     li = int(oi[i])
-                    tr = _lane_to_transcript(gi, P, lanes, li, l_ne[i],
-                                             score, ifrag, ws, b, w,
-                                             int(lread[b]))
+                    if lazy:
+                        tr = _LaneTr(lanes, ws, li, l_ne[i], score, ifrag,
+                                     b, w, int(lread[b]), l_ml[i], l_gl[i],
+                                     l_nmatch[i], l_nmm[i])
+                    else:
+                        tr = _lane_to_transcript(gi, P, lanes, li, l_ne[i],
+                                                 score, ifrag, ws, b, w,
+                                                 int(lread[b]))
                     iTr = 0
                     while iTr < len(win_tr):
                         n_ov = blocks_overlap(tr, win_tr[iTr])
@@ -1768,7 +1894,7 @@ def fast_path_config_ok(gi, P) -> bool:
 
 
 def _stitch_level(gi, P, recs, lread, read_fwd_u8, read_rc_u8, read_len2,
-                  nmm_max_read, w_max, s_max, chain_cap):
+                  nmm_max_read, w_max, s_max, chain_cap, lazy=False):
     """run the full windows->assign->grow->finalize->assemble pipeline on one
     (sub-)batch at the given envelope.  Returns (fallback[B], results)."""
     B = len(lread)
@@ -1801,7 +1927,7 @@ def _stitch_level(gi, P, recs, lread, read_fwd_u8, read_rc_u8, read_len2,
     accept = finalize_lanes(gi, P, G, RS, lanes, ws, nmm_max_read,
                             read_len2, lread, Lpad)
     results = assemble(gi, P, lanes, accept, ws, st.wa_n_dense, st.fallback,
-                       lread)
+                       lread, lazy=lazy)
     return st.fallback, results
 
 
@@ -1820,8 +1946,16 @@ def _slice_seed_recs(recs, read_mask, new_index):
     return out
 
 
+def fast_finish_config_ok(P) -> bool:
+    """configs where the array-native finish path (pipeline._fast_finish)
+    replaces ReadAligner.finish_read for batched reads: everything
+    fast_path_config_ok allows except PE-overlap merge-remap, which consumes
+    materialized window transcript objects (finish_read._pe_overlap_merge_map)"""
+    return P.peOverlapNbasesMin == 0
+
+
 def stitch_batch(gi, P, seeds: SeedArrays, read_fwd_u8, read_rc_u8,
-                 lread, read_len2, nmm_max_read):
+                 lread, read_len2, nmm_max_read, lazy=False):
     """full batched post-seeding pipeline with envelope escalation.
     read_fwd_u8/read_rc_u8: [B, Lmax] uint8, PAD_BASE-padded.
     read_len2: [B, 2] per-mate readLength.  nmm_max_read: [B].
@@ -1840,14 +1974,15 @@ def stitch_batch(gi, P, seeds: SeedArrays, read_fwd_u8, read_rc_u8,
             sub = recs
             fb_s, res_s = _stitch_level(
                 gi, P, sub, lread, read_fwd_u8, read_rc_u8, read_len2,
-                nmm_max_read, w_max, s_max, chain_cap)
+                nmm_max_read, w_max, s_max, chain_cap, lazy=lazy)
         else:
             new_index = np.zeros(B, np.int64)
             new_index[idx] = np.arange(len(idx))
             sub = _slice_seed_recs(recs, todo, new_index)
             fb_s, res_s = _stitch_level(
                 gi, P, sub, lread[idx], read_fwd_u8[idx], read_rc_u8[idx],
-                read_len2[idx], nmm_max_read[idx], w_max, s_max, chain_cap)
+                read_len2[idx], nmm_max_read[idx], w_max, s_max, chain_cap,
+                lazy=lazy)
         done_s = ~fb_s
         done_idx = idx[done_s]
         fallback[done_idx] = False

@@ -224,7 +224,9 @@ class DeviceAligner:
         from . import batch_engine as be
         results = {}
         fb = np.ones(R, bool)
+        fast_fin = False
         if be.fast_path_config_ok(self.gi, P) and len(seed_flat.read):
+            fast_fin = be.fast_finish_config_ok(P)
             lread = np.asarray([r.lread for r, _ in prepped], np.int64)
             read_len2 = np.asarray([r.read_length[:2] for r, _ in prepped],
                                    np.int64)
@@ -240,7 +242,8 @@ class DeviceAligner:
                           np.where(rcv < 4, 3 - rcv, rcv), -1).astype(np.uint8)
             with _tick("stitch_batch"):
                 fb, results = be.stitch_batch(self.gi, P, seed_flat, fwd, rc,
-                                              lread, read_len2, nmm_max)
+                                              lread, read_len2, nmm_max,
+                                              lazy=fast_fin)
 
         with _tick("finish"):
             outs = []
@@ -252,7 +255,12 @@ class DeviceAligner:
                 pre = results.get(i) if not fb[i] else None
                 if pre is None and hasattr(seeds, "_fill_pc"):
                     seeds._fill_pc(i)
-                out = self.host.finish_read(res, reads, seeds, precomputed=pre)
+                if pre is not None and fast_fin:
+                    out = _fast_finish(self.host, res, seeds, pre,
+                                       P, self.gi)
+                else:
+                    out = self.host.finish_read(res, reads, seeds,
+                                                precomputed=pre)
                 stats.add_read(out)
                 outs.append(out)
         yield from outs
@@ -412,6 +420,108 @@ class DeviceAligner:
             active[idx] = (mb > 0) & \
                 (c_istl[idx] + l_mapped[idx] + P.seedMapMin < c_plen[idx])
         return oml, onr, olo, ohi, mbest, nprobes
+
+
+def _fast_finish(host, res, seeds, pre, P, gi):
+    """array-native finish_read for batched reads (fast_finish_config_ok):
+    multMapSelect + mappedFilter over _LaneTr proxies; Transcript objects are
+    materialized only for the alignments the output consumes (reference:
+    ReadAlign_multMapSelect.cpp:8-95, ReadAlign_mappedFilter.cpp:3-21)."""
+    from ..align.transcript import Transcript
+    from ..constants import (MARKER_NO_GOOD_PIECES, MARKER_NO_GOOD_WINDOW,
+                             MARKER_READ_TOO_SHORT,
+                             MARKER_ALL_PIECES_EXCEED_seedMultimapNmax,
+                             UNMAP_TOO_SHORT, UNMAP_TOO_MANY_MM,
+                             UNMAP_MULTIMAP)
+    lread = res.lread
+    tr_init = Transcript()
+    tr_init.Lread = lread
+    res.tr_best = tr_init
+    if lread < P.outFilterMatchNmin:
+        res.map_marker = MARKER_READ_TOO_SHORT
+        host._finish_unmapped(res)
+        return res
+    if seeds.n_split == 0:
+        res.map_marker = MARKER_NO_GOOD_PIECES
+        host._finish_unmapped(res)
+        return res
+    if seeds.nA == 0:
+        res.map_marker = MARKER_ALL_PIECES_EXCEED_seedMultimapNmax
+        host._finish_unmapped(res)
+        return res
+
+    win_list, msm = pre
+    tb = None
+    for win in win_list:
+        w0 = win[0]
+        if tb is None or w0.maxScore > tb.maxScore \
+                or (w0.maxScore == tb.maxScore and w0.gLength < tb.gLength):
+            tb = w0
+    if tb is None or tb.maxScore == 0:
+        res.map_marker = MARKER_NO_GOOD_WINDOW
+        host._finish_unmapped(res)
+        return res
+
+    max_score = tb.maxScore
+    rng = P.outFilterMultimapScoreRange
+    prox = []
+    for win in win_list:
+        for t in win:
+            if t.maxScore + rng >= max_score:
+                prox.append(t)
+    n_tr = len(prox)
+    res.n_tr = n_tr
+    res.all_win_tr = []
+
+    if not (n_tr > P.outFilterMultimapNmax or n_tr == 0):
+        trs = []
+        tb_m = None
+        cs = gi.chr_start
+        for t in prox:
+            o = t.materialize(gi, P)
+            o.cStart = o.gStart - cs[o.Chr]
+            trs.append(o)
+            if t is tb:
+                tb_m = o
+        res.transcripts = trs
+        if n_tr == 1:
+            trs[0].primaryFlag = True
+        else:
+            if P.outMultimapperOrderRandom or P.outSAMmultNmax != -1:
+                nbest = 0
+                for i in range(len(trs)):
+                    if trs[i].maxScore == max_score:
+                        trs[i], trs[nbest] = trs[nbest], trs[i]
+                        nbest += 1
+                trs[0].primaryFlag = True
+            elif P.outSAMprimaryFlag == "AllBestScore":
+                for tr in trs:
+                    if tr.maxScore == max_score:
+                        tr.primaryFlag = True
+            else:
+                tb_m.primaryFlag = True
+        res.tr_best = tb_m
+    else:
+        res.transcripts = []
+        res.tr_best = tb.materialize(gi, P)
+
+    mm_max = min(P.outFilterMismatchNmax,
+                 int(P.outFilterMismatchNoverReadLmax
+                     * (res.read_length[0] + res.read_length[1])))
+    if (tb.maxScore < P.outFilterScoreMin
+            or tb.maxScore < int(P.outFilterScoreMinOverLread * (lread - 1))
+            or tb.nMatch < P.outFilterMatchNmin
+            or tb.nMatch < int(P.outFilterMatchNminOverLread * (lread - 1))):
+        res.unmap_type = UNMAP_TOO_SHORT
+    elif (tb.nMM > mm_max
+          or (tb.mappedLength > 0
+              and tb.nMM / tb.mappedLength > P.outFilterMismatchNoverLmax)):
+        res.unmap_type = UNMAP_TOO_MANY_MM
+    elif n_tr > P.outFilterMultimapNmax:
+        res.unmap_type = UNMAP_MULTIMAP
+    else:
+        res.unmap_type = -1
+    return res
 
 
 def _empty_seed_arrays():

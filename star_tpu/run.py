@@ -209,6 +209,7 @@ def align_reads(P: Parameters, gi: Optional[GenomeIndex] = None, use_device=None
         gi = insert_junctions(base, sjdb, P, out_dir=_tmp_dir(P))
         if P.sjdbGTFfile != "-":
             P.trInfoDir = _tmp_dir(P)
+        _sjdb_insert_save(gi, P)
 
     # two-pass: pass 1 + junction re-insertion
     if P.twopassYes:
@@ -228,6 +229,7 @@ def align_reads(P: Parameters, gi: Optional[GenomeIndex] = None, use_device=None
         if base.sjdb_overhang == 0:
             base.sjdb_overhang = 100
         gi = insert_junctions(base, sjdb, P, out_dir=_tmp_dir(P))
+        _sjdb_insert_save(gi, P)
 
     # variation (VCF SNVs) for vA/vG tags and WASP (STAR.cpp:139-142)
     if P.varVCFfile != "-":
@@ -236,6 +238,15 @@ def align_reads(P: Parameters, gi: Optional[GenomeIndex] = None, use_device=None
             P, gi.chr_start, {n: i for i, n in enumerate(gi.chr_name)})
 
     return _run_mapping(P, gi, use_device)
+
+
+def _sjdb_insert_save(gi, P):
+    """--sjdbInsertSave All: persist the junction-augmented index under
+    <prefix>_STARgenome/ so later runs skip re-insertion (reference:
+    sjdbInsertJunctions.cpp:70-98 saving into P.sjdbInsert.outDir)"""
+    if getattr(P, "sjdbInsertSave", "Basic") == "All":
+        out = P.outFileNamePrefix + "_STARgenome"
+        gi.save(out)
 
 
 def _run_mapping(P: Parameters, gi: GenomeIndex, use_device=None) -> RunStats:
