@@ -32,7 +32,15 @@ def _load():
                 and os.path.getmtime(src) > os.path.getmtime(so))):
         # build on first use (fresh checkouts / bench environments)
         if not _try_build(root, so, src):
-            return None
+            # a silent numpy fallback turns a mammal-scale index build into
+            # a multi-hour stall; fail loudly unless explicitly opted out
+            # (reference fails hard on misconfiguration too,
+            # ErrorWarning.cpp exitWithError)
+            raise SystemExit(
+                "EXITING because of FATAL ERROR: could not build the native "
+                f"suffix sorter ({so}).\n"
+                "SOLUTION: ensure g++ is installed, or set STAR_TPU_NATIVE=0 "
+                "to accept the (much slower) numpy sorter")
     try:
         lib = ctypes.CDLL(so)
         lib.sa_sort_suffixes.restype = ctypes.c_int64

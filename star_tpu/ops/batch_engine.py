@@ -367,32 +367,47 @@ def compute_owner(P, gi, ws: WindowsState, read, a1, astr):
         flo = ws.win_flo[bi, wi]
         fhi = ws.win_fhi[bi, wi]
 
-        def mark(lo_, hi_):
+        def mark(lo_, hi_, base_, wi_):
             ln = np.maximum(hi_ - lo_ + 1, 0)
             tot = int(ln.sum())
             if tot == 0:
                 return
-            ww = np.repeat(np.arange(len(bi)), ln)
+            ww = np.repeat(np.arange(len(base_)), ln)
             off = np.arange(tot) - np.repeat(np.cumsum(ln) - ln, ln)
             # duplicate flat indices: numpy fancy assignment keeps the LAST
             # write; rows come b-major w-minor, so within a read later
             # windows win — the reference's marking order
-            wbf[np.repeat(base, ln) + np.repeat(lo_, ln) + off] = \
-                wi[ww].astype(np.int16)
+            wbf[np.repeat(base_, ln) + np.repeat(lo_, ln) + off] = \
+                wi_[ww].astype(np.int16)
 
-        mark(lo, hi)                       # cores (disjoint per read/strand)
-        mark(flo, np.minimum(lo - 1, hi))  # left flanks
-        mark(np.maximum(hi + 1, lo), fhi)  # right flanks
+        mark(lo, hi, base, wi)             # cores (disjoint per read/strand)
+        # flanks window-major: left+right of window i before any flank of
+        # window i+1 (matches the reference's per-window marking loop and
+        # _owner_flat_chunked's max-index rule when flank ranges overlap)
+        nb = len(bi)
+        lo2 = np.empty(2 * nb, lo.dtype)
+        hi2 = np.empty(2 * nb, hi.dtype)
+        lo2[0::2] = flo
+        hi2[0::2] = np.minimum(lo - 1, hi)
+        lo2[1::2] = np.maximum(hi + 1, lo)
+        hi2[1::2] = fhi
+        base2 = np.repeat(base, 2)
+        wi2 = np.repeat(wi, 2)
+        mark(lo2, hi2, base2, wi2)
     own = wbf[(read.astype(np.int64) * 2 + astr) * n_bins
               + (a1 >> wbits)].astype(np.int64)
     return own
 
 
-def _owner_flat_chunked(P, ws, read, a1, astr, chunk=1 << 21):
+def _owner_flat_chunked(P, ws, read, a1, astr, chunk=None):
     """[N, W]-compare ownership (same semantics), chunked over records"""
     N = len(read)
+    W = ws.win_alive.shape[1]
+    if chunk is None:
+        # bound per-chunk gather memory: ~4 int64 [chunk, W] temporaries
+        chunk = max(1, (1 << 24) // max(W, 1))
     out = np.full(N, -1, np.int64)
-    wix = np.arange(ws.win_alive.shape[1])[None, :]
+    wix = np.arange(W)[None, :]
     for c0 in range(0, N, chunk):
         c1 = min(c0 + chunk, N)
         ri = read[c0:c1]
@@ -604,11 +619,13 @@ def assign_pairs(gi, P, ws: WindowsState, rr: dict, s_max: int) -> WAStateP:
             ii = ii[gate]
             if len(ii):
                 over = n[ii] >= s_max
-                if s_max >= P.seedPerWindowNmax:
-                    # can only happen in the too-many-anchors corner
-                    over &= ~st.fallback[st.pb[pi[ii]]]
-                st.fallback[st.pb[pi[ii[over]]]] = True
-                FB_STATS['seed_smax'] += int(over.sum())
+                # records of pairs already marked fallback (too-many-anchors
+                # corner) must NOT insert into a full row (n == s_max would
+                # index past the table); keep them out of the insert path and
+                # only suppress the FB_STATS double-count
+                new_fb = over & ~st.fallback[st.pb[pi[ii]]]
+                st.fallback[st.pb[pi[ii[new_fb]]]] = True
+                FB_STATS['seed_smax'] += int(new_fb.sum())
                 ii = ii[~over]
             if len(ii):
                 wk1 = min(k + 1, s_max)
@@ -716,6 +733,43 @@ def _empty_lanes(bb, ww, prow) -> LaneState:
 CHAIN_CAP = 1024   # valid chains per window before host fallback
 
 
+class _LaneBuf:
+    """amortized frontier storage: lanes append into preallocated capacity
+    (the per-step whole-frontier _lanes_concat copy was ~10% of stitch time)"""
+
+    def __init__(self, init: LaneState):
+        self.n = len(init.b)
+        cap = max(1024, 2 * self.n)
+        self.arrs = {}
+        for k in _lane_fields():
+            v = getattr(init, k)
+            a = np.empty((cap,) + v.shape[1:], v.dtype)
+            a[:self.n] = v
+            self.arrs[k] = a
+
+    def append(self, inc: LaneState, idx):
+        m = len(idx)
+        if m == 0:
+            return
+        need = self.n + m
+        cap = len(self.arrs["b"])
+        if need > cap:
+            new_cap = max(need, 2 * cap)
+            for k, a in self.arrs.items():
+                na = np.empty((new_cap,) + a.shape[1:], a.dtype)
+                na[:self.n] = a[:self.n]
+                self.arrs[k] = na
+        for k, a in self.arrs.items():
+            a[self.n:need] = getattr(inc, k)[idx]
+        self.n = need
+
+    def view(self) -> LaneState:
+        return LaneState(**{k: a[:self.n] for k, a in self.arrs.items()})
+
+    def take(self, idx) -> LaneState:
+        return LaneState(**{k: a[:self.n][idx] for k, a in self.arrs.items()})
+
+
 def grow_chains(gi, P, G, RS, st: WAStateP, ws, nmm_max_read, Lpad,
                 chain_cap: int = CHAIN_CAP) -> LaneState:
     """DFS-equivalent chain enumeration, output-sensitive: the frontier holds
@@ -729,17 +783,16 @@ def grow_chains(gi, P, G, RS, st: WAStateP, ws, nmm_max_read, Lpad,
     Returns completed chains sorted in the recursion's DFS visit order."""
     B = ws.n_reads
     live = np.nonzero((st.wa_n > 0) & ~st.fallback[st.pb])[0]
-    lanes = _empty_lanes(st.pb[live], st.pw[live], live)
+    buf = _LaneBuf(_empty_lanes(st.pb[live], st.pw[live], live))
     NP = len(st.pb)
     smax = int(st.wa_n.max()) if st.wa_n.size else 0
     for s in range(smax):
-        ok_read = ~st.fallback[lanes.b]
-        if not ok_read.all():
-            lanes = _lanes_take(lanes, np.nonzero(ok_read)[0])
-        cand = np.nonzero(s < st.wa_n[lanes.prow])[0]
+        fv = buf.view()
+        cand = np.nonzero((s < st.wa_n[fv.prow])
+                          & ~st.fallback[fv.b])[0]
         if len(cand) == 0:
             continue
-        inc = _lanes_take(lanes, cand)
+        inc = buf.take(cand)
         inc.mask = inc.mask | (np.int64(1) << s)
         pr2 = inc.prow
         bb2 = inc.b
@@ -770,17 +823,21 @@ def grow_chains(gi, P, G, RS, st: WAStateP, ws, nmm_max_read, Lpad,
             stitch_step_vec(gi, P, G, RS, row_all, inc, il2, rB[il2],
                             gB[il2], L[il2], fragB[il2], sjA[il2],
                             nrepB[il2], anchB[il2], nmm[il2], Lpad)
-        grown = _lanes_take(inc, np.nonzero(inc.alive)[0])
-        lanes = _lanes_concat(lanes, grown)
-        # frontier cap: combinatorial windows go to the host oracle
-        cnt = np.bincount(lanes.prow, minlength=NP)
+        buf.append(inc, np.nonzero(inc.alive)[0])
+        # frontier cap: combinatorial windows go to the host oracle.
+        # Counts include lanes of already-fallback reads (they are only
+        # excluded from cand above), matching the pre-buffer behavior of
+        # pruning at the step start: a pair crossing the cap always flags.
+        fv = buf.view()
+        cnt = np.bincount(fv.prow, minlength=NP)
         over = np.nonzero(cnt > chain_cap)[0]
         if len(over):
             st.fallback[st.pb[over]] = True
             FB_STATS['chain_cap'] += len(over)
 
-    sel = (lanes.mask != 0) & ~st.fallback[lanes.b]
-    lanes = _lanes_take(lanes, np.nonzero(sel)[0])
+    fv = buf.view()
+    sel = (fv.mask != 0) & ~st.fallback[fv.b]
+    lanes = buf.take(np.nonzero(sel)[0])
     # DFS visit order: include-first recursion == descending bit-reversed
     # mask (seed 0 is the most significant decision)
     n = st.wa_n[lanes.prow].astype(np.int64)
@@ -807,10 +864,11 @@ def extend_vec(G, RS, row, r0, g0, dR, dG, L, l_prev, nmm_prev, nmm_max,
     k = np.arange(Lwin, dtype=np.int64)
     rix = r0[:, None] + dR * k[None, :]
     gix = g0[:, None] + dG * k[None, :]
-    Rv = RS[row[:, None], np.clip(rix, 0, RS.shape[1] - 1)]
-    Rv = np.where((rix < 0) | (rix >= RS.shape[1]), PAD_BASE, Rv)
+    w = RS.shape[1]
+    Rv = np.take(RS, row[:, None] * w + rix, mode="clip")
+    Rv = np.where((rix < 0) | (rix >= w), PAD_BASE, Rv)
     gin = (gix >= 0) & (gix < len(G))
-    Gv = np.where(gin, G[np.clip(gix, 0, len(G) - 1)], 5)
+    Gv = np.where(gin, np.take(G, gix, mode="clip"), 5)
     inL = k[None, :] < L[:, None]
     spac = Rv == MARK_FRAG_SPACER_BASE
     gbad = ~gin | (Gv == 5)
@@ -848,7 +906,7 @@ def extend_vec(G, RS, row, r0, g0, dR, dG, L, l_prev, nmm_prev, nmm_max,
     skip = (Rv > 3) | (Gv > 3)
     match0 = ~skip & (Gv == Rv)
     mm0 = ~skip & (Gv != Rv)
-    mm_excl = np.cumsum(mm0, axis=1) - mm0
+    mm_excl = np.cumsum(mm0, axis=1, dtype=np.int32) - mm0
     cap_brk = np.minimum(p_mm * (l_prev + L).astype(np.float64),
                          nmm_max.astype(np.float64))
     p_mmbrk = first_true(mm0 & ((mm_excl + nmm_prev[:, None])
@@ -857,17 +915,17 @@ def extend_vec(G, RS, row, r0, g0, dR, dG, L, l_prev, nmm_prev, nmm_max,
     valid = k[None, :] < p_stop[:, None]
     match = match0 & valid
     mm = mm0 & valid
-    s = np.cumsum(match.astype(np.int64) - mm.astype(np.int64), axis=1)
+    s = np.cumsum(match.astype(np.int32) - mm.astype(np.int32), axis=1)
     cap_rec = np.minimum(p_mm * (l_prev[:, None] + k[None, :] + 1),
                          nmm_max[:, None].astype(np.float64))
-    mm_before = np.cumsum(mm, axis=1) - mm
+    mm_before = np.cumsum(mm, axis=1, dtype=np.int32) - mm
     cond = (mm_before + nmm_prev[:, None]) <= cap_rec
     cand = match & cond
-    sm = np.where(cand, s, np.int64(-BIG))
+    sm = np.where(cand, s, np.int32(-(1 << 30)))
     M = sm.max(axis=1)
     ok = M > 0
     pos = np.argmax(sm == M[:, None], axis=1)
-    cm = np.cumsum(match, axis=1)
+    cm = np.cumsum(match, axis=1, dtype=np.int32)
     extendL = np.where(ok, pos + 1, 0)
     maxScore = np.where(ok, M, 0)
     n_match = np.where(ok, cm[np.arange(A), pos], 0)
@@ -880,13 +938,17 @@ def extend_vec(G, RS, row, r0, g0, dR, dG, L, l_prev, nmm_prev, nmm_max,
 # --------------------------------------------------------------------------
 
 def _gwin(G, base, off):
-    return G[np.clip(base[:, None] + off[None, :], 0, len(G) - 1)]
+    return np.take(G, base[:, None] + off[None, :], mode="clip")
 
 
 def _rwin(RS, row, base, off):
     idx = base[:, None] + off[None, :]
-    v = RS[row[:, None], np.clip(idx, 0, RS.shape[1] - 1)]
-    return np.where((idx < 0) | (idx >= RS.shape[1]), PAD_BASE, v)
+    w = RS.shape[1]
+    oob = (idx < 0) | (idx >= w)
+    # out-of-row flat indices land in a neighboring row (or get clipped at
+    # the table ends); every such value is masked to PAD_BASE right after
+    v = np.take(RS, row[:, None] * w + idx, mode="clip")
+    return np.where(oob, PAD_BASE, v)
 
 
 def _sjdb_tables(gi):
@@ -1140,39 +1202,42 @@ def _stitch_same_frag(gi, P, G, RS, row, lanes: LaneState, il, si, rB, gB,
         # 1. lower scan: jR1 start
         neg = off <= 0
         dec = ((Rv != Ga) & (Ga < 4) & (Rv == Gd) & neg[None, :])
-        cum_from_right = np.cumsum(dec[:, ::-1], axis=1)[:, ::-1]
+        cum_from_right = np.cumsum(dec[:, ::-1], axis=1,
+                                   dtype=np.int32)[:, ::-1]
         cd = np.where(neg[None, :], cum_from_right, 0)     # decs in [o..0]
         fail = neg[None, :] & ((cd > P.scoreStitchSJshift)
                                | (exlen[di][:, None] + off[None, :] <= 1))
         # first failing offset going down from 0 = max failing offset
-        okey = np.where(fail, off[None, :], np.int64(-1) << 40)
+        okey = np.where(fail, off[None, :].astype(np.int32),
+                        np.int32(-(1 << 30)))
         jR1s = okey.max(axis=1)
         # 2. main scan: best junction locus
         hi_o = r_b_end[di] - ra[di] - 1
         scan = (off[None, :] >= jR1s[:, None]) & (off[None, :] <= hi_o[:, None])
         up = (Rv == Gd) & (Rv != Ga)
         dn = (Rv != Gd) & (Rv == Ga)
-        contrib = np.where(scan, up.astype(np.int64) - dn.astype(np.int64), 0)
+        contrib = np.where(scan, up.astype(np.int32) - dn.astype(np.int32),
+                           np.int32(0))
         score1 = np.cumsum(contrib, axis=1)
         d1 = np.concatenate([Gd[:, 1:], Gd[:, -1:]], axis=1)   # G[ga + o + 1]
         d2 = np.concatenate([Gd[:, 2:], Gd[:, -1:], Gd[:, -1:]], axis=1)
         a1v = np.concatenate([Ga[:, :1], Ga[:, :-1]], axis=1)  # G[gb1 + o - 1]
         a2v = Ga
-        can = np.full((D, len(off)), 0, np.int64)
+        can = np.full((D, len(off)), 0, np.int32)
         can = np.where((d1 == 2) & (d2 == 3) & (a1v == 0) & (a2v == 2), 1, can)
         can = np.where((can == 0) & (d1 == 1) & (d2 == 3) & (a1v == 0) & (a2v == 1), 2, can)
         can = np.where((can == 0) & (d1 == 2) & (d2 == 1) & (a1v == 0) & (a2v == 2), 3, can)
         can = np.where((can == 0) & (d1 == 1) & (d2 == 3) & (a1v == 2) & (a2v == 1), 4, can)
         can = np.where((can == 0) & (d1 == 0) & (d2 == 3) & (a1v == 0) & (a2v == 1), 5, can)
         can = np.where((can == 0) & (d1 == 2) & (d2 == 3) & (a1v == 0) & (a2v == 3), 6, can)
-        pen = np.zeros((D, len(off)), np.int64)
+        pen = np.zeros((D, len(off)), np.int32)
         pen = np.where(can == 0, P.scoreGapNoncan, pen)
         pen = np.where((can == 3) | (can == 4), P.scoreGapGCAG, pen)
         pen = np.where((can == 5) | (can == 6), P.scoreGapATAC, pen)
         can = np.where(intron[:, None], can, -1)
         pen = np.where(intron[:, None], pen, 0)
         score2 = score1 + pen
-        sm = np.where(scan, score2, np.int64(-1) << 40)
+        sm = np.where(scan, score2, np.int32(-(1 << 30)))
         M = sm.max(axis=1)
         pos = np.argmax(sm == M[:, None], axis=1)
         ar = np.arange(D)
@@ -1183,14 +1248,14 @@ def _stitch_same_frag(gi, P, G, RS, row, lanes: LaneState, il, si, rB, gB,
         jj = np.arange(RPT + 1, dtype=np.int64)
         gd_idx = ga[di][:, None] + jR[di][:, None] - jj[None, :]
         ga_idx = gb1[di][:, None] + jR[di][:, None] - jj[None, :]
-        gdv = G[np.clip(gd_idx, 0, len(G) - 1)]
-        gav = G[np.clip(ga_idx, 0, len(G) - 1)]
+        gdv = np.take(G, gd_idx, mode="clip")
+        gav = np.take(G, ga_idx, mode="clip")
         cl = (gd_idx >= 0) & (gdv == gav) & (gdv < 4) & (jj[None, :] <= 255)
         jjL[di] = np.argmax(~cl, axis=1)
         gd_idx = ga[di][:, None] + jj[None, :] + jR[di][:, None] + 1
         ga_idx = gb1[di][:, None] + jj[None, :] + jR[di][:, None] + 1
-        gdv = G[np.clip(gd_idx, 0, len(G) - 1)]
-        gav = G[np.clip(ga_idx, 0, len(G) - 1)]
+        gdv = np.take(G, gd_idx, mode="clip")
+        gav = np.take(G, ga_idx, mode="clip")
         cl = (gd_idx < len(G)) & (gdv == gav) & (gdv < 4) & (jj[None, :] <= 255)
         jjR[di] = np.argmax(~cl, axis=1)
         # 4. flush deletions/non-canonical junctions left
@@ -1263,7 +1328,7 @@ def _stitch_same_frag(gi, P, G, RS, row, lanes: LaneState, il, si, rB, gB,
         c1 = np.where(inr & gok, np.where(Rv == Gd, 1, -1)
                       + np.where(Rv2 == Gd, -1, 1), 0)
         score1 = np.cumsum(c1, axis=1)
-        smask = np.where(inr, score1, np.int64(-1) << 40)
+        smask = np.where(inr, score1, np.int32(-(1 << 30)))
         M = np.maximum(smask.max(axis=1), 0)
         if P.alignInsertionFlushRight:
             # sequential: ties update too -> last offset achieving max;
@@ -1897,6 +1962,16 @@ def _stitch_level(gi, P, recs, lread, read_fwd_u8, read_rc_u8, read_len2,
                   nmm_max_read, w_max, s_max, chain_cap, lazy=False):
     """run the full windows->assign->grow->finalize->assemble pipeline on one
     (sub-)batch at the given envelope.  Returns (fallback[B], results)."""
+    from .pipeline import _tick
+    with _tick(f"stitch_level_W{w_max}"):
+        return _stitch_level_inner(gi, P, recs, lread, read_fwd_u8,
+                                   read_rc_u8, read_len2, nmm_max_read,
+                                   w_max, s_max, chain_cap, lazy=lazy)
+
+
+def _stitch_level_inner(gi, P, recs, lread, read_fwd_u8, read_rc_u8,
+                        read_len2, nmm_max_read, w_max, s_max, chain_cap,
+                        lazy=False):
     B = len(lread)
     wbits = P.winBinNbits
     n_bins = (int(gi.n_genome) >> wbits) + 2

@@ -240,6 +240,15 @@ class DeviceAligner:
             rcv = np.take_along_axis(read_mat, src, axis=1)
             rc = np.where(k[None, :] < lread[:, None],
                           np.where(rcv < 4, 3 - rcv, rcv), -1).astype(np.uint8)
+            dump_dir = _os.environ.get("STAR_TPU_DUMP_STITCH")
+            if dump_dir:
+                _os.makedirs(dump_dir, exist_ok=True)
+                import pickle
+                nb = len(_os.listdir(dump_dir))
+                with open(f"{dump_dir}/batch_{nb:04d}.pkl", "wb") as f:
+                    pickle.dump(dict(seeds=seed_flat, fwd=fwd, rc=rc,
+                                     lread=lread, read_len2=read_len2,
+                                     nmm_max=nmm_max), f)
             with _tick("stitch_batch"):
                 fb, results = be.stitch_batch(self.gi, P, seed_flat, fwd, rc,
                                               lread, read_len2, nmm_max,

@@ -487,7 +487,11 @@ def _run_mapping(P: Parameters, gi: GenomeIndex, use_device=None) -> RunStats:
 
     for res in _align_all(P, gi, stats, use_device, aligner_holder):
         if by_sjout:
-            sj1.add_read(res.transcripts, res.n_tr)
+            # recordSJ1 gate: the reference returns before recording when
+            # unmapType>0 (ReadAlign_outputAlignments.cpp:94-96) — over-limit
+            # multimappers (unmapType==3) contribute no stage-1 junctions
+            if res.unmap_type <= 0:
+                sj1.add_read(res.transcripts, res.n_tr)
             if res.unmap_type <= 0 and _has_novel_junction(res):
                 stats.read_n -= 1
                 stats.read_bases -= sum(len(s) for s in res.seqs)
