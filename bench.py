@@ -26,10 +26,45 @@ os.environ.setdefault("STAR_TPU_TIMING", "1")
 ROOT = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, ROOT)
 
-# reference STAR 2.7.11b, 1 thread, same dataset, this container
-BASELINE_REF_READS_PER_SEC = 14286.0
+# reference STAR 2.7.11b, 1 thread, same dataset — measured in THIS
+# container on first run and cached (a hardcoded number from a different
+# box overstated the baseline ~5x in rounds 2-4)
+REF_BIN = "/root/reference/bin/Linux_x86_64/STAR"
 CHR_LENS = ("40000000", "20000000")
 N_READS = 100000
+
+
+def ref_baseline(data, tmp="/tmp/star_tpu_bench_chr20"):
+    """reads/s of the reference binary, 1 thread, same reads; cached"""
+    cache = os.path.join(tmp, "ref_baseline.json")
+    if os.path.exists(cache):
+        with open(cache) as f:
+            return json.load(f)["reads_per_sec"]
+    if not os.path.exists(REF_BIN):
+        return 2630.0   # measured 2026-08 in-container, fallback only
+    idx = os.path.join(tmp, "ref_idx")
+    if not os.path.exists(os.path.join(idx, "SA")):
+        os.makedirs(idx, exist_ok=True)
+        subprocess.run([REF_BIN, "--runMode", "genomeGenerate",
+                        "--genomeDir", idx, "--genomeFastaFiles",
+                        os.path.join(data, "genome.fa"),
+                        "--genomeSAindexNbases", "12",
+                        "--runThreadN", "2"], check=True,
+                       capture_output=True, timeout=1800)
+    out = os.path.join(tmp, "ref_out")
+    os.makedirs(out, exist_ok=True)
+    t0 = time.time()
+    subprocess.run([REF_BIN, "--genomeDir", idx, "--readFilesIn",
+                    os.path.join(data, "reads_se.fastq"),
+                    "--readMapNumber", str(N_READS), "--runThreadN", "1",
+                    "--outSAMunmapped", "Within",
+                    "--outFileNamePrefix", out + "/"], check=True,
+                   capture_output=True, timeout=1800)
+    rps = N_READS / (time.time() - t0)
+    with open(cache, "w") as f:
+        json.dump({"reads_per_sec": rps, "note":
+                   "reference 2.7.11b, 1 thread, in-container"}, f)
+    return rps
 
 
 def ensure_dataset(tmp="/tmp/star_tpu_bench_chr20"):
@@ -52,6 +87,7 @@ def ensure_dataset(tmp="/tmp/star_tpu_bench_chr20"):
 
 def main():
     data, idx = ensure_dataset()
+    baseline_rps = ref_baseline(data)
     from star_tpu.params import Parameters
     from star_tpu.run import align_reads
     from star_tpu.genome.index import GenomeIndex

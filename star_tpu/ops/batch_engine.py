@@ -31,6 +31,23 @@ from ..constants import MARK_FRAG_SPACER_BASE, MAX_N_EXONS, SCORE_MATCH
 W_MAX = 8       # windows per read (live slots, incl. dead-by-merge)
 S_MAX = 16      # seeds per window
 
+import os as _os
+
+
+def _use_device_stitch(gi, s_max: int, n_records: int = 1 << 30) -> bool:
+    """gate for the jnp/jit grow engine (ops/device_stitch.py): int32
+    positions require a <2^30-base genome (bigger genomes keep the numpy
+    engine / sharded index path); mask words cover s_max <= 50.  Tiny
+    batches stay on the numpy engine (compile + dispatch overhead would
+    dominate); STAR_TPU_DEVICE_STITCH_MIN=0 forces the device path."""
+    mode = _os.environ.get("STAR_TPU_DEVICE_STITCH", "1")
+    if mode == "0":
+        return False
+    if int(gi.n_genome) >= (1 << 30) or s_max > 50:
+        return False
+    min_rec = int(_os.environ.get("STAR_TPU_DEVICE_STITCH_MIN", "4096"))
+    return n_records >= min_rec
+
 # fallback-cause counters (diagnostics; STAR_TPU_TIMING reports them)
 import collections as _collections
 FB_STATS = _collections.Counter()
@@ -1759,8 +1776,12 @@ class _LaneTr:
 
 
 def assemble(gi, P, lanes: LaneState, accept, ws: WindowsState,
-             wa_n_dense, fallback, lread, lazy=False):
-    """returns {read_i: (all_win_tr, maxScoreMate)} for non-fallback reads.
+             wa_n_dense, fallback, lread, lazy=False, over=None):
+    """returns {read_i: (all_win_tr, maxScoreMate[, over_flag])} for
+    non-fallback reads.  `over` (device classification): reads proven
+    'mapped to too many loci' on device arrive with only their trBest lane;
+    their result carries over_flag=True and a single-window single-lane
+    list that _fast_finish consumes without the admission replay.
 
     Replays the engine's window loop and stitchWindowAligns' transcript
     recording (maxScoreMate gate, overlap dedup, sorted top-list) over the
@@ -1800,6 +1821,8 @@ def assemble(gi, P, lanes: LaneState, accept, ws: WindowsState,
     cap_possible = ws.win_alive.shape[1] * P.alignTranscriptsPerWindowNmax \
         >= P.alignTranscriptsPerReadNmax
 
+    over_l = over.tolist() if over is not None else None
+
     NA = len(oi)
     i = 0
     B = ws.n_reads
@@ -1807,6 +1830,18 @@ def assemble(gi, P, lanes: LaneState, accept, ws: WindowsState,
         if fb_l[b]:
             while i < NA and l_b[i] == b:
                 i += 1
+            continue
+        if over_l is not None and over_l[b]:
+            # device-classified too-many-loci read: exactly its trBest lane
+            # was downloaded — no admission replay needed
+            assert i < NA and l_b[i] == b
+            li = int(oi[i])
+            tr = _LaneTr(lanes, ws, li, l_ne[i], l_score[i], l_ifrag[i],
+                         b, l_w[i], int(lread[b]), l_ml[i], l_gl[i],
+                         l_nmatch[i], l_nmm[i])
+            while i < NA and l_b[i] == b:
+                i += 1
+            results[b] = ([[tr]], [0, 0], True)
             continue
         msm = [0, 0]
         all_win_tr = []
@@ -1997,12 +2032,28 @@ def _stitch_level_inner(gi, P, recs, lread, read_fwd_u8, read_rc_u8,
     G = gi.G if gi.G.dtype == np.uint8 else gi.G.view(np.uint8)
     RS = np.concatenate([read_fwd_u8, read_rc_u8], axis=0)
     Lpad = read_fwd_u8.shape[1] + 2
-    lanes = grow_chains(gi, P, G, RS, st, ws, nmm_max_read, Lpad,
-                        chain_cap=chain_cap)
-    accept = finalize_lanes(gi, P, G, RS, lanes, ws, nmm_max_read,
-                            read_len2, lread, Lpad)
+    lanes = None
+    accept = None
+    over = None
+    if _use_device_stitch(gi, s_max, len(recs_k['read'])):
+        try:
+            from .device_stitch import grow_chains_device
+            from .pipeline import _tick
+            with _tick(f"grow_dev_W{ws.win_alive.shape[1]}"):
+                lanes, accept, over = grow_chains_device(
+                    gi, P, st, ws, RS, nmm_max_read, Lpad, s_max, chain_cap,
+                    lread=lread, read_len2=read_len2, classify=lazy)
+        except MemoryError:
+            FB_STATS['dev_bail'] += 1
+            lanes = accept = over = None
+    if lanes is None:
+        lanes = grow_chains(gi, P, G, RS, st, ws, nmm_max_read, Lpad,
+                            chain_cap=chain_cap)
+    if accept is None:
+        accept = finalize_lanes(gi, P, G, RS, lanes, ws, nmm_max_read,
+                                read_len2, lread, Lpad)
     results = assemble(gi, P, lanes, accept, ws, st.wa_n_dense, st.fallback,
-                       lread, lazy=lazy)
+                       lread, lazy=lazy, over=over)
     return st.fallback, results
 
 

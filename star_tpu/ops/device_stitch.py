@@ -1,0 +1,1665 @@
+"""Device-resident chain growth (stitch) engine — the post-seeding hot loop
+on the TPU.
+
+This is the jnp/jit port of the numpy batch engine's grow stage
+(ops/batch_engine.py grow_chains + stitch_step_vec + _stitch_same_frag +
+extend_vec), bit-exact by construction: every branch mirrors the numpy code
+(itself bit-faithful to reference stitchWindowAligns.cpp:336-351,
+stitchAlignToTranscript.cpp:106-232, extendAlign.cpp:6-92) with masked
+full-width ops instead of index-compacted subsets.  The numpy engine remains
+the oracle: tests replay identical inputs through both and require equal
+digests.
+
+Architecture (shaped by measured v5e + remote-tunnel characteristics):
+  * All state lives in HBM as three packed int32 matrices (SCAL / EX / SJ
+    blocks); lanes append via dynamic_update_slice — no scatters.
+  * Per iteration the candidate lanes are compacted to a fixed-size chunk
+    (jnp.nonzero(size=A_cap)) and their state gathered with windowed
+    gathers (base[:,None]+iota), which XLA lowers to ~600 GB/s copies —
+    measured 500x faster than per-row DMA for this access pattern.
+  * The whole grow loop is ONE device dispatch (lax.while_loop over
+    (step, chunk)); the host uploads flat WA tables once per batch and
+    downloads only the completed-chain state.
+  * Genome positions are int32: the engine is gated on n_genome < 2^31
+    (larger genomes keep the numpy path / sharded index).
+  * The reference's float mismatch caps (outFilterMismatchNoverLmax * len
+    in double, extendAlign.cpp:42-84) are replicated exactly with host-
+    precomputed integer floor/ceil tables — no device floating point.
+
+Capacity overflows (state or chunk) mark the affected reads fallback, same
+as the numpy envelope; the caller escalates those identically.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+import os as _os
+
+import numpy as np
+
+from ..constants import MAX_N_EXONS, SCORE_MATCH
+
+E = MAX_N_EXONS
+RPT = 256
+PAD_BASE = 255
+NEG = -(1 << 30)
+
+# ---- SCAL block column layout (per-lane scalars, int32)
+(C_MASK_LO, C_MASK_HI, C_PROW, C_NEX, C_NMM, C_NMATCH, C_NGAP, C_LGAP,
+ C_NDEL, C_LDEL, C_NINS, C_LINS, C_NUNIQ, C_NANCH, C_SCORE, C_TR2, C_TG2,
+ C_WAN, C_ROW, C_NMMMAX, C_PB, C_PW, C_WSTR, C_ACCEPT) = range(24)
+NSCAL = 24
+
+# EX block: e*5 + {rs, gs, len, frag, sja}, e < E
+EX_RS, EX_GS, EX_LEN, EX_FRAG, EX_SJA = range(5)
+NEXB = E * 5
+# SJ block: j*5 + {can, shl, shr, annot, str}, j < E
+SJ_CAN, SJ_SHL, SJ_SHR, SJ_ANNOT, SJ_STR = range(5)
+NSJB = E * 5
+
+
+def _ceil_div(a, b):
+    return (a + b - 1) // b
+
+
+@dataclass(frozen=True)
+class StitchConfig:
+    """static (trace-time) parameters of the engine"""
+    Lpad: int                 # read padding (scan half-width)
+    s_max: int                # seeds per window cap of this level
+    chain_cap: int
+    has_pe: bool              # any lane can hit the mate path
+    has_sjdb: bool
+    ends_ext: tuple           # alignEndsTypeExt as ((b,b),(b,b))
+    ins_flush_right: bool
+    intron_min: int
+    intron_max: int
+    mates_gap_max: int
+    protrude_max: int
+    score_gap: int
+    score_gap_noncan: int
+    score_gap_gcag: int
+    score_gap_atac: int
+    score_del_open: int
+    score_del_base: int
+    score_ins_open: int
+    score_ins_base: int
+    sjdb_score: int
+    stitch_sj_shift: int
+    sjmm: tuple               # alignSJstitchMismatchNmax (4 ints, -1 -> big)
+
+
+def make_config(gi, P, Lpad, s_max, chain_cap, has_pe) -> StitchConfig:
+    sjmm = tuple(int(v) if v >= 0 else (1 << 30)
+                 for v in P.alignSJstitchMismatchNmax)
+    ext = P.alignEndsTypeExt
+    return StitchConfig(
+        Lpad=int(Lpad), s_max=int(s_max), chain_cap=int(chain_cap),
+        has_pe=bool(has_pe), has_sjdb=gi.sjdb_n > 0,
+        ends_ext=(tuple(bool(x) for x in ext[0]),
+                  tuple(bool(x) for x in ext[1])),
+        ins_flush_right=bool(P.alignInsertionFlushRight),
+        intron_min=int(P.alignIntronMin), intron_max=int(P.alignIntronMax),
+        mates_gap_max=int(P.alignMatesGapMax),
+        protrude_max=int(P.alignEndsProtrudeMax),
+        score_gap=int(P.scoreGap), score_gap_noncan=int(P.scoreGapNoncan),
+        score_gap_gcag=int(P.scoreGapGCAG),
+        score_gap_atac=int(P.scoreGapATAC),
+        score_del_open=int(P.scoreDelOpen),
+        score_del_base=int(P.scoreDelBase),
+        score_ins_open=int(P.scoreInsOpen),
+        score_ins_base=int(P.scoreInsBase),
+        sjdb_score=int(P.sjdbScore),
+        stitch_sj_shift=int(P.scoreStitchSJshift),
+        sjmm=sjmm)
+
+
+def mm_cap_tables(p_mm: float, tl_max: int):
+    """exact integer forms of the reference's double-precision mismatch caps:
+    for integer m,   m <  p*tl  <=>  m <  ceil_tab[tl]
+                     m >= p*tl  <=>  m >= ceil_tab[tl]
+                     m <= p*tl  <=>  m <= floor_tab[tl]
+    where p*tl is computed in float64 exactly as the host does."""
+    tl = np.arange(tl_max, dtype=np.float64)
+    prod = np.float64(p_mm) * tl
+    floor_tab = np.floor(prod).astype(np.int32)
+    ceil_tab = np.ceil(prod).astype(np.int32)
+    return floor_tab, ceil_tab
+
+
+# --------------------------------------------------------------------------
+# device-side helpers (traced)
+# --------------------------------------------------------------------------
+
+def _win(flat, base, W, jnp):
+    idx = base[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
+    return jnp.take(flat, idx, mode="clip")
+
+
+def _win_rev(flat, base, W, jnp):
+    """flat[base - k] for k in 0..W-1 (descending windows, clip)"""
+    idx = base[:, None] - jnp.arange(W, dtype=jnp.int32)[None, :]
+    return jnp.take(flat, idx, mode="clip")
+
+
+def _rwin_dev(RSf, lmax, row, base, W, jnp):
+    """read window with PAD_BASE outside [0, lmax) (numpy _rwin semantics)"""
+    k = jnp.arange(W, dtype=jnp.int32)[None, :]
+    idx = base[:, None] + k
+    v = jnp.take(RSf, row[:, None] * lmax + idx, mode="clip")
+    return jnp.where((idx < 0) | (idx >= lmax), jnp.uint8(PAD_BASE),
+                     v).astype(jnp.int32)
+
+
+def _gwin_dev(Gf, n_g, base, W, jnp):
+    """genome window with numpy clip semantics (G[clip(idx, 0, n-1)])"""
+    idx = base[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
+    return jnp.take(Gf, jnp.clip(idx, 0, n_g - 1)).astype(jnp.int32)
+
+
+def _first_true(cond, big, jnp):
+    has = cond.any(axis=1)
+    return jnp.where(has, jnp.argmax(cond, axis=1).astype(jnp.int32),
+                     jnp.int32(big))
+
+
+def _ex_get(exr, e_idx, field, jnp):
+    """one-hot read of EX column e_idx*5+field per lane"""
+    col = e_idx * 5 + field
+    sel = jnp.arange(NEXB, dtype=jnp.int32)[None, :] == col[:, None]
+    return jnp.sum(jnp.where(sel, exr, 0), axis=1)
+
+
+def _ex_set(exr, e_idx, field, val, mask, jnp):
+    col = e_idx * 5 + field
+    sel = (jnp.arange(NEXB, dtype=jnp.int32)[None, :] == col[:, None]) \
+        & mask[:, None]
+    return jnp.where(sel, val[:, None], exr)
+
+
+def _sj_set(sjr, j_idx, field, val, mask, jnp):
+    col = j_idx * 5 + field
+    sel = (jnp.arange(NSJB, dtype=jnp.int32)[None, :] == col[:, None]) \
+        & mask[:, None]
+    return jnp.where(sel, val[:, None], sjr)
+
+
+def _sjdb_find_dev(sj_s2, sj_e2, sj_idx, jS, jE, jnp):
+    """first junction with (start, end) == (jS, jE): 32-step lexicographic
+    lower bound over the (start, end)-sorted tables, then an equality check
+    (numpy sjdb_find_vec semantics; int32-safe, no int64 keys)."""
+    n = sj_s2.shape[0]
+    lo = jnp.zeros_like(jS)
+    hi = jnp.full_like(jS, n)
+    for _ in range(max(int(n).bit_length(), 1)):
+        run = lo < hi
+        mid = (lo + hi) // 2
+        ms = jnp.take(sj_s2, jnp.clip(mid, 0, n - 1))
+        me = jnp.take(sj_e2, jnp.clip(mid, 0, n - 1))
+        lt = (ms < jS) | ((ms == jS) & (me < jE))
+        lo = jnp.where(run & lt, mid + 1, lo)
+        hi = jnp.where(run & ~lt, mid, hi)
+    pos = jnp.clip(lo, 0, n - 1)
+    found = (lo < n) & (jnp.take(sj_s2, pos) == jS) \
+        & (jnp.take(sj_e2, pos) == jE)
+    return jnp.where(found, jnp.take(sj_idx, pos), -1)
+
+
+# --------------------------------------------------------------------------
+# extend (reference extendAlign.cpp:6-92), per-lane to_end + both directions
+# --------------------------------------------------------------------------
+
+def extend_dev(Gf, n_g, RSf, lmax, floor_tab, ceil_tab, ntab, row, r0, g0,
+               dR, dG, L, l_prev, nmm_prev, nmm_max, to_end, Lwin, cfg, jnp):
+    """dR/dG: +1/-1 static python ints.  to_end: [A] bool.  Returns
+    (ok, extendL, maxScore, nMatch, nMM) int32 arrays.  Mirrors numpy
+    extend_vec with the float caps replaced by exact integer tables."""
+    A = row.shape[0]
+    k = jnp.arange(Lwin, dtype=jnp.int32)[None, :]
+    rix = r0[:, None] + dR * k
+    gix = g0[:, None] + dG * k
+    Rv = jnp.take(RSf, row[:, None] * lmax + rix, mode="clip").astype(jnp.int32)
+    Rv = jnp.where((rix < 0) | (rix >= lmax), PAD_BASE, Rv)
+    gin = (gix >= 0) & (gix < n_g)
+    Gv = jnp.where(gin,
+                   jnp.take(Gf, jnp.clip(gix, 0, n_g - 1)).astype(jnp.int32),
+                   5)
+    inL = k < L[:, None]
+    spac = Rv == 11            # MARK_FRAG_SPACER_BASE
+    gbad = ~gin | (Gv == 5)
+    BIG = jnp.int32(1 << 29)
+
+    skip = (Rv > 3) | (Gv > 3)
+    match0 = ~skip & (Gv == Rv)
+    mm0 = ~skip & (Gv != Rv)
+
+    # ---------------- to_end branch
+    p_cat = _first_true(gbad & inL, 1 << 29, jnp)
+    p_spac = _first_true(spac, 1 << 29, jnp)
+    p_end = jnp.minimum(p_spac, L)
+    cat = (p_cat < L) & (p_cat <= p_spac)
+    valid_e = k < p_end[:, None]
+    sc = valid_e & ~skip
+    match_e = sc & (Gv == Rv)
+    mm_e = sc & (Gv != Rv)
+    i_ext = p_end
+    score_e = (match_e.sum(axis=1) - mm_e.sum(axis=1)).astype(jnp.int32)
+    nmatch_e = match_e.sum(axis=1).astype(jnp.int32)
+    nmm_e = mm_e.sum(axis=1).astype(jnp.int32)
+    ok_e = cat | (i_ext > 0)
+    extl_e = jnp.where(cat, 0, jnp.where(i_ext > 0, i_ext, 0))
+    ms_e = jnp.where(cat, jnp.int32(-999999999), score_e)
+    nmatch_e = jnp.where(cat, 0, nmatch_e)
+    nmm_e = jnp.where(cat, nmm_max + 1, nmm_e)
+
+    # ---------------- local branch
+    brk = ~inL | gbad | spac
+    p_brk = _first_true(brk, 1 << 29, jnp)
+    mm_excl = jnp.cumsum(mm0.astype(jnp.int16), axis=1).astype(jnp.int32) \
+        - mm0.astype(jnp.int32)
+    # cap_brk = min(p_mm*(l_prev+L) [f64], nmm_max); int m >= cap <=> m >= ceil
+    tl_brk = jnp.clip(l_prev + L, 0, ntab - 1)
+    cap_brk_c = jnp.minimum(jnp.take(ceil_tab, tl_brk), nmm_max)
+    p_mmbrk = _first_true(
+        mm0 & ((mm_excl + nmm_prev[:, None]) >= cap_brk_c[:, None]),
+        1 << 29, jnp)
+    p_stop = jnp.minimum(p_brk, p_mmbrk)
+    valid = k < p_stop[:, None]
+    match = match0 & valid
+    mm = mm0 & valid
+    s = jnp.cumsum((match.astype(jnp.int16) - mm.astype(jnp.int16)),
+                   axis=1).astype(jnp.int32)
+    # cap_rec = min(p_mm*(l_prev+k+1), nmm_max); int m <= cap <=> m <= floor
+    tl_rec = jnp.clip(l_prev[:, None] + k + 1, 0, ntab - 1)
+    cap_rec_f = jnp.minimum(jnp.take(floor_tab, tl_rec), nmm_max[:, None])
+    mm_before = jnp.cumsum(mm.astype(jnp.int16), axis=1).astype(jnp.int32) \
+        - mm.astype(jnp.int32)
+    cond = (mm_before + nmm_prev[:, None]) <= cap_rec_f
+    cand = match & cond
+    sm = jnp.where(cand, s, -BIG)
+    M = sm.max(axis=1)
+    ok_l = M > 0
+    pos = jnp.argmax(sm == M[:, None], axis=1).astype(jnp.int32)
+    cm = jnp.cumsum(match.astype(jnp.int16), axis=1).astype(jnp.int32)
+    sel = (k == pos[:, None])
+    cm_pos = jnp.sum(jnp.where(sel, cm, 0), axis=1)
+    mb_pos = jnp.sum(jnp.where(sel, mm_before, 0), axis=1)
+    extl_l = jnp.where(ok_l, pos + 1, 0)
+    ms_l = jnp.where(ok_l, M, 0)
+    nmatch_l = jnp.where(ok_l, cm_pos, 0)
+    nmm_l = jnp.where(ok_l, mb_pos, 0)
+
+    pick = to_end
+    return (jnp.where(pick, ok_e, ok_l),
+            jnp.where(pick, extl_e, extl_l),
+            jnp.where(pick, ms_e, ms_l),
+            jnp.where(pick, nmatch_e, nmatch_l),
+            jnp.where(pick, nmm_e, nmm_l))
+
+
+# --------------------------------------------------------------------------
+# one candidate chunk: stitch seed s onto [A] gathered lanes
+# (mirrors batch_engine.stitch_step_vec + _stitch_same_frag + the first-exon
+#  branch of grow_chains, masked full-width)
+# --------------------------------------------------------------------------
+
+def _stitch_chunk(jnp, cfg: StitchConfig, Gf, n_g, RSf, lmax, floor_tab,
+                  ceil_tab, ntab, sjdb, sc, ex, sj, seed, s):
+    """sc [A, NSCAL], ex [A, NEXB], sj [A, NSJB] gathered lane copies;
+    seed [A, 8] = (rs, gs, len, frag, sja, nrep, anchor, _).
+    Returns (sc, ex, sj, ok) with the seed-s extension applied."""
+    A = sc.shape[0]
+    Lpad = cfg.Lpad
+    i32 = jnp.int32
+
+    rB = seed[:, 0]
+    gB = seed[:, 1]
+    L = seed[:, 2]
+    fragB = seed[:, 3]
+    sjA = seed[:, 4]
+    nrepB = seed[:, 5]
+    anchB = seed[:, 6]
+
+    nE = sc[:, C_NEX]
+    last = jnp.maximum(nE - 1, 0)
+    tR2 = sc[:, C_TR2]
+    tG2 = sc[:, C_TG2]
+    row = sc[:, C_ROW]
+    nmm_max = sc[:, C_NMMMAX]
+    exlen_last = _ex_get(ex, last, EX_LEN, jnp)
+    exgs_last = _ex_get(ex, last, EX_GS, jnp)
+    last_sja = _ex_get(ex, last, EX_SJA, jnp)
+    last_frag = _ex_get(ex, last, EX_FRAG, jnp)
+    ex_rs0 = ex[:, EX_RS]
+    ex_gs0 = ex[:, EX_GS]
+
+    first = nE == 0
+    # ---- first-exon branch result (computed unconditionally, cheap)
+    sc_f = sc
+    sc_f = sc_f.at[:, C_NMATCH].set(L)
+    sc_f = sc_f.at[:, C_SCORE].set(SCORE_MATCH * L)
+    sc_f = sc_f.at[:, C_TR2].set(rB + L - 1)
+    sc_f = sc_f.at[:, C_TG2].set(gB + L - 1)
+    sc_f = sc_f.at[:, C_NUNIQ].set((nrepB == 1).astype(i32))
+    sc_f = sc_f.at[:, C_NANCH].set((anchB > 0).astype(i32))
+    sc_f = sc_f.at[:, C_NEX].set(1)
+    ex_f = ex
+    for fld, val in ((EX_RS, rB), (EX_GS, gB), (EX_LEN, L),
+                     (EX_FRAG, fragB), (EX_SJA, sjA)):
+        ex_f = ex_f.at[:, fld].set(val)
+
+    # ---- stitch branch
+    capm = nE >= E
+    dead = capm
+    annotb = ~capm & (sjA != -1) & (last_sja == sjA) \
+        & (last_frag == fragB) & (rB == tR2 + 1) & (tG2 + 1 < gB)
+    samef = ~capm & ~annotb & (last_frag == fragB)
+    mate_gate = (gB + ex_rs0 + cfg.protrude_max >= ex_gs0) \
+        | (ex_gs0 < ex_rs0)
+    mateb = ~capm & ~annotb & ~samef & mate_gate
+    dead = dead | (~capm & ~annotb & ~samef & ~mate_gate)
+
+    d_score = jnp.zeros(A, i32)
+    n_mm_add = jnp.zeros(A, i32)
+    n_match_add = jnp.zeros(A, i32)
+    # accumulated per-branch structural edits
+    ex_s = ex
+    sj_s = sj
+    sc_s = sc
+
+    # ================= annotated-junction path =================
+    if cfg.has_sjdb:
+        sj_s2, sj_e2, sj_ordidx, sj_motif, sj_shl, sj_shr, sj_strand = sjdb
+        sjc = jnp.clip(sjA, 0, sj_motif.shape[0] - 1)
+        a_motif = jnp.take(sj_motif, sjc)
+        a_shl = jnp.take(sj_shl, sjc)
+        a_shr = jnp.take(sj_shr, sjc)
+        a_str = jnp.take(sj_strand, sjc)
+        a_rej = (a_motif == 0) & ((L <= a_shr) | (exlen_last <= a_shl))
+        dead = dead | (annotb & a_rej)
+        a_ok = annotb & ~a_rej
+        jpos = jnp.maximum(nE - 1, 0)
+        sj_s = _sj_set(sj_s, jpos, SJ_CAN, a_motif, a_ok, jnp)
+        sj_s = _sj_set(sj_s, jpos, SJ_SHL, a_shl, a_ok, jnp)
+        sj_s = _sj_set(sj_s, jpos, SJ_SHR, a_shr, a_ok, jnp)
+        sj_s = _sj_set(sj_s, jpos, SJ_ANNOT, jnp.ones(A, i32), a_ok, jnp)
+        sj_s = _sj_set(sj_s, jpos, SJ_STR, a_str, a_ok, jnp)
+        for fld, val in ((EX_RS, rB), (EX_GS, gB), (EX_LEN, L),
+                         (EX_FRAG, fragB), (EX_SJA, sjA)):
+            ex_s = _ex_set(ex_s, nE, fld, val, a_ok, jnp)
+        sc_s = sc_s.at[:, C_NEX].set(jnp.where(a_ok, nE + 1, sc_s[:, C_NEX]))
+        n_match_add = jnp.where(a_ok, L, n_match_add)
+        d_score = jnp.where(a_ok, SCORE_MATCH * L + cfg.sjdb_score, d_score)
+
+    # ================= same-fragment path =================
+    ra = tR2
+    ga = tG2
+    r_b_end = rB + L - 1
+    g_b_end = gB + L - 1
+    rej = (r_b_end <= ra) | (g_b_end <= ga)
+    trim = jnp.maximum(ra + 1 - rB, 0)
+    rb = rB + trim
+    gb = gB + trim
+    Ls = r_b_end - rb + 1
+    base_score = SCORE_MATCH * Ls
+    g_gap = gb - ga - 1
+    r_gap = rb - ra - 1
+    gb1 = gb - r_gap - 1
+    exlen = exlen_last
+
+    delb = ~rej & (g_gap > r_gap)
+    insb = ~rej & (r_gap > g_gap)
+    rej = rej | (~delb & ~insb)            # fill/merge: -1000007
+
+    n_mm = jnp.zeros(A, i32)
+    n_match = Ls
+    extra = jnp.zeros(A, i32)
+    jR = jnp.zeros(A, i32)
+    j_can = jnp.full(A, 999, i32)
+    jjL = jnp.zeros(A, i32)
+    jjR = jnp.zeros(A, i32)
+    delv = jnp.where(delb, g_gap - r_gap, 0)
+    insv = jnp.where(insb, r_gap - g_gap, 0)
+    annot_fl = jnp.zeros(A, i32)
+    sjstr = jnp.zeros(A, i32)
+
+    W1 = Lpad + 2
+    WSC = 2 * Lpad + 5
+    offk = jnp.arange(WSC, dtype=i32)[None, :] - W1    # off = -W1 .. Lpad+2
+
+    # ------------------------- deletion / intron -------------------------
+    di = delb
+    if cfg.intron_max > 0:
+        rej3 = di & (delv > cfg.intron_max)
+        rej = rej | rej3
+        di = di & ~rej3
+    intron = delv >= cfg.intron_min
+    Rv = _rwin_dev(RSf, lmax, row, ra - W1, WSC, jnp)
+    Gd = _gwin_dev(Gf, n_g, ga - W1, WSC, jnp)
+    Ga = _gwin_dev(Gf, n_g, gb1 - W1, WSC, jnp)
+    neg = offk <= 0
+    dec = (Rv != Ga) & (Ga < 4) & (Rv == Gd) & neg
+    cum_fr = jnp.flip(jnp.cumsum(jnp.flip(dec, 1).astype(jnp.int16), axis=1),
+                      1).astype(i32)
+    cd = jnp.where(neg, cum_fr, 0)
+    fail = neg & ((cd > cfg.stitch_sj_shift)
+                  | (exlen[:, None] + offk <= 1))
+    okey = jnp.where(fail, offk, NEG)
+    jR1s = okey.max(axis=1)
+    hi_o = r_b_end - ra - 1
+    scan = (offk >= jR1s[:, None]) & (offk <= hi_o[:, None])
+    up = (Rv == Gd) & (Rv != Ga)
+    dn = (Rv != Gd) & (Rv == Ga)
+    contrib = jnp.where(scan, up.astype(jnp.int16) - dn.astype(jnp.int16),
+                        jnp.int16(0))
+    score1 = jnp.cumsum(contrib, axis=1).astype(i32)
+    d1 = jnp.concatenate([Gd[:, 1:], Gd[:, -1:]], axis=1)
+    d2 = jnp.concatenate([Gd[:, 2:], Gd[:, -1:], Gd[:, -1:]], axis=1)
+    a1v = jnp.concatenate([Ga[:, :1], Ga[:, :-1]], axis=1)
+    a2v = Ga
+    can = jnp.zeros((A, WSC), i32)
+    can = jnp.where((d1 == 2) & (d2 == 3) & (a1v == 0) & (a2v == 2), 1, can)
+    can = jnp.where((can == 0) & (d1 == 1) & (d2 == 3) & (a1v == 0)
+                    & (a2v == 1), 2, can)
+    can = jnp.where((can == 0) & (d1 == 2) & (d2 == 1) & (a1v == 0)
+                    & (a2v == 2), 3, can)
+    can = jnp.where((can == 0) & (d1 == 1) & (d2 == 3) & (a1v == 2)
+                    & (a2v == 1), 4, can)
+    can = jnp.where((can == 0) & (d1 == 0) & (d2 == 3) & (a1v == 0)
+                    & (a2v == 1), 5, can)
+    can = jnp.where((can == 0) & (d1 == 2) & (d2 == 3) & (a1v == 0)
+                    & (a2v == 3), 6, can)
+    pen = jnp.zeros((A, WSC), i32)
+    pen = jnp.where(can == 0, cfg.score_gap_noncan, pen)
+    pen = jnp.where((can == 3) | (can == 4), cfg.score_gap_gcag, pen)
+    pen = jnp.where((can == 5) | (can == 6), cfg.score_gap_atac, pen)
+    can = jnp.where(intron[:, None], can, -1)
+    pen = jnp.where(intron[:, None], pen, 0)
+    score2 = score1 + pen
+    sm = jnp.where(scan, score2, NEG)
+    M = sm.max(axis=1)
+    posm = sm == M[:, None]
+    pos = jnp.argmax(posm, axis=1).astype(i32)
+    possel = jnp.arange(WSC, dtype=i32)[None, :] == pos[:, None]
+    jR_d = pos - W1
+    can_d = jnp.sum(jnp.where(possel, can, 0), axis=1)
+    j_pen = jnp.sum(jnp.where(possel, pen, 0), axis=1)
+    jR = jnp.where(di, jR_d, jR)
+    j_can = jnp.where(di, can_d, j_can)
+    # repeat scans
+    jj = jnp.arange(RPT + 1, dtype=i32)[None, :]
+    gd_i = (ga + jR)[:, None] - jj
+    ga_i = (gb1 + jR)[:, None] - jj
+    gdv = jnp.take(Gf, jnp.clip(gd_i, 0, n_g - 1)).astype(i32)
+    gav = jnp.take(Gf, jnp.clip(ga_i, 0, n_g - 1)).astype(i32)
+    cl = (gd_i >= 0) & (gdv == gav) & (gdv < 4) & (jj <= 255)
+    jjL_d = jnp.argmax(~cl, axis=1).astype(i32)
+    gd_i = (ga + jR + 1)[:, None] + jj
+    ga_i = (gb1 + jR + 1)[:, None] + jj
+    gdv = jnp.take(Gf, jnp.clip(gd_i, 0, n_g - 1)).astype(i32)
+    gav = jnp.take(Gf, jnp.clip(ga_i, 0, n_g - 1)).astype(i32)
+    cl = (gd_i < n_g) & (gdv == gav) & (gdv < 4) & (jj <= 255)
+    jjR_d = jnp.argmax(~cl, axis=1).astype(i32)
+    jjL = jnp.where(di, jjL_d, jjL)
+    jjR = jnp.where(di, jjR_d, jjR)
+    # flush left
+    flush = di & (j_can <= 0)
+    jR = jnp.where(flush, jR - jjL, jR)
+    rej5 = flush & (exlen + jR < 1)
+    jjR = jnp.where(flush, jjR + jjL, jjR)
+    jjL = jnp.where(flush, 0, jjL)
+    rej = rej | rej5
+    # mismatch-fill scan around the junction
+    lo_ii = jnp.minimum(1, jR + 1)
+    hi_ii = jnp.maximum(r_gap, jR)
+    inr = (offk >= lo_ii[:, None]) & (offk <= hi_ii[:, None])
+    g1v = jnp.where(offk <= jR[:, None], Gd, Ga)
+    scor = inr & (g1v < 4) & (Rv < 4)
+    eq = scor & (Rv == g1v)
+    in_rgap = (offk >= 1) & (offk <= r_gap[:, None])
+    eq_in = (eq & in_rgap).sum(axis=1).astype(i32)
+    mm_all = (scor & ~eq).sum(axis=1).astype(i32)
+    out_mm = (scor & ~eq & ~in_rgap).sum(axis=1).astype(i32)
+    n_match = jnp.where(di, n_match + eq_in - out_mm, n_match)
+    extra = jnp.where(di, extra + eq_in - mm_all - out_mm, extra)
+    n_mm = jnp.where(di, n_mm + mm_all, n_mm)
+    # sjdb-annotated override + gap scoring
+    jS = ga + jR + 1
+    jE = gb1 + jR
+    if cfg.has_sjdb:
+        ind = _sjdb_find_dev(sj_s2, sj_e2, sj_ordidx, jS, jE, jnp)
+        found = di & (ind >= 0)
+    else:
+        found = jnp.zeros(A, bool)
+        ind = jnp.full(A, -1, i32)
+    nf = di & ~found
+    extra = extra + jnp.where(nf & intron, cfg.score_gap + j_pen, 0)
+    extra = extra + jnp.where(
+        nf & ~intron, delv * cfg.score_del_base + cfg.score_del_open, 0)
+    j_can = jnp.where(nf & ~intron, -1, j_can)
+    annot_fl = jnp.where(found, 1, annot_fl)
+    if cfg.has_sjdb:
+        indc = jnp.clip(ind, 0, sj_motif.shape[0] - 1)
+        f_motif = jnp.take(sj_motif, indc)
+        f_shl = jnp.take(sj_shl, indc)
+        f_shr = jnp.take(sj_shr, indc)
+        f_str = jnp.take(sj_strand, indc)
+        j_can = jnp.where(found, f_motif, j_can)
+        m0 = found & (f_motif == 0)
+        rej6 = m0 & ((Ls <= f_shl) | (exlen <= f_shl))
+        jR = jnp.where(m0, jR + f_shl, jR)
+        rej6 = rej6 | (m0 & (ra + jR >= r_b_end))
+        jjL = jnp.where(m0, f_shl, jjL)
+        jjR = jnp.where(m0, f_shr, jjR)
+        rej = rej | rej6
+        sjstr = jnp.where(found, f_str, sjstr)
+        extra = extra + jnp.where(found, cfg.sjdb_score, 0)
+    sjstr = jnp.where(di & (annot_fl == 0),
+                      jnp.where(j_can > 0, 2 - j_can % 2, 0), sjstr)
+
+    # ----------------------------- insertion -----------------------------
+    ii_b = insb & ~rej
+    WI = Lpad + 2
+    offp = jnp.arange(WI, dtype=i32)[None, :]
+    Rvp = _rwin_dev(RSf, lmax, row, ra, WI, jnp)
+    Rv2p = _rwin_dev(RSf, lmax, row, ra + insv, WI, jnp)
+    Gdp = _gwin_dev(Gf, n_g, ga, WI, jnp)
+    inrp = (offp >= 1) & (offp <= g_gap[:, None])
+    gok = Gdp < 4
+    c1 = jnp.where(inrp & gok,
+                   jnp.where(Rvp == Gdp, 1, -1).astype(jnp.int16)
+                   + jnp.where(Rv2p == Gdp, -1, 1).astype(jnp.int16),
+                   jnp.int16(0))
+    score1p = jnp.cumsum(c1, axis=1).astype(i32)
+    smaskp = jnp.where(inrp, score1p, NEG)
+    Mp = jnp.maximum(smaskp.max(axis=1), 0)
+    jR_i = jnp.zeros(A, i32)
+    if cfg.ins_flush_right:
+        hit = smaskp == Mp[:, None]
+        has_hit = hit.any(axis=1)
+        last_pos = jnp.where(
+            has_hit, WI - 1 - jnp.argmax(jnp.flip(hit, 1), axis=1), 0
+        ).astype(i32)
+        jR_i = jnp.where((Mp > 0) | (has_hit & (Mp == 0)), last_pos, 0)
+    else:
+        first_pos = jnp.argmax(smaskp == Mp[:, None], axis=1).astype(i32)
+        jR_i = jnp.where(Mp > 0, first_pos, 0)
+    extra = extra + jnp.where(ii_b & (g_gap < 0), SCORE_MATCH * g_gap, 0)
+    rsel = jnp.where(offp <= jR_i[:, None], Rvp, Rv2p)
+    scorp = inrp & gok & (rsel < 4)
+    eqp = scorp & (rsel == Gdp)
+    eq_n = eqp.sum(axis=1).astype(i32)
+    mm_n = (scorp & ~eqp).sum(axis=1).astype(i32)
+    n_match = jnp.where(ii_b, n_match + eq_n, n_match)
+    extra = jnp.where(ii_b, extra + eq_n - mm_n, extra)
+    n_mm = jnp.where(ii_b, n_mm + mm_n, n_mm)
+    if cfg.ins_flush_right:
+        lim = r_b_end - ra - insv
+        Rv3 = _rwin_dev(RSf, lmax, row, ra + jR_i + 1, WI, jnp)
+        Gd3 = _gwin_dev(Gf, n_g, ga + jR_i + 1, WI, jnp)
+        failf = (jR_i[:, None] + offp >= lim[:, None]) | (Rv3 != Gd3) \
+            | (Gd3 == 4)
+        adv = jnp.argmax(failf, axis=1).astype(i32)
+        jR_i = jR_i + adv
+        rej = rej | (ii_b & (jR_i == lim))
+    extra = jnp.where(ii_b,
+                      extra + insv * cfg.score_ins_base + cfg.score_ins_open,
+                      extra)
+    jR = jnp.where(ii_b, jR_i, jR)
+    j_can = jnp.where(ii_b, -2, j_can)
+
+    # ----------------------------- accept -----------------------------
+    sjmm = cfg.sjmm
+    cls = jnp.clip((j_can + 1) // 2, 0, 3)
+    lim_mm = jnp.where(cls == 0, sjmm[0],
+                       jnp.where(cls == 1, sjmm[1],
+                                 jnp.where(cls == 2, sjmm[2], sjmm[3])))
+    acc_sf = samef & ~rej & (sc[:, C_NMM] + n_mm <= nmm_max) \
+        & ((j_can < 0) | ((j_can < 7) & (n_mm <= lim_mm)))
+    dead = dead | (samef & ~acc_sf)
+
+    # apply same-frag accepted edits
+    d_score = jnp.where(acc_sf, base_score + extra, d_score)
+    sc_s = sc_s.at[:, C_NMM].set(
+        jnp.where(acc_sf, sc_s[:, C_NMM] + n_mm, sc_s[:, C_NMM]))
+    sc_s = sc_s.at[:, C_NMATCH].set(
+        jnp.where(acc_sf, sc_s[:, C_NMATCH] + n_match, sc_s[:, C_NMATCH]))
+    is_int = delv >= cfg.intron_min
+    add = lambda c, condv, v: sc_s.at[:, c].set(
+        jnp.where(condv, sc_s[:, c] + v, sc_s[:, c]))
+    sc_s = add(C_NGAP, acc_sf & is_int & (delv > 0), 1)
+    sc_s = add(C_LGAP, acc_sf & is_int, delv)
+    sc_s = add(C_NDEL, acc_sf & ~is_int & (delv > 0), 1)
+    sc_s = add(C_LDEL, acc_sf & ~is_int, delv)
+    # deletion/intron: split exon at jR
+    dd = acc_sf & (delv > 0)
+    ne1 = jnp.maximum(nE - 1, 0)
+    cur_len = _ex_get(ex_s, ne1, EX_LEN, jnp)
+    ex_s = _ex_set(ex_s, ne1, EX_LEN, cur_len + jR, dd, jnp)
+    sj_s = _sj_set(sj_s, ne1, SJ_CAN, j_can, dd, jnp)
+    sj_s = _sj_set(sj_s, ne1, SJ_SHL, jjL, dd, jnp)
+    sj_s = _sj_set(sj_s, ne1, SJ_SHR, jjR, dd, jnp)
+    sj_s = _sj_set(sj_s, ne1, SJ_ANNOT, annot_fl, dd, jnp)
+    sj_s = _sj_set(sj_s, ne1, SJ_STR, sjstr, dd, jnp)
+    for fld, val in ((EX_RS, ra + jR + 1), (EX_GS, gb1 + jR + 1),
+                     (EX_LEN, r_b_end - ra - jR), (EX_FRAG, fragB),
+                     (EX_SJA, sjA)):
+        ex_s = _ex_set(ex_s, nE, fld, val, dd, jnp)
+    # insertion: split exon at jR
+    ddi = acc_sf & (insv > 0)
+    sc_s = add(C_NINS, ddi, 1)
+    sc_s = add(C_LINS, ddi, insv)
+    cur_len = _ex_get(ex_s, ne1, EX_LEN, jnp)
+    ex_s = _ex_set(ex_s, ne1, EX_LEN, cur_len + jnp.where(ddi, jR, 0),
+                   ddi, jnp)
+    sj_s = _sj_set(sj_s, ne1, SJ_CAN, jnp.full(A, -2, i32), ddi, jnp)
+    sj_s = _sj_set(sj_s, ne1, SJ_SHL, jnp.zeros(A, i32), ddi, jnp)
+    sj_s = _sj_set(sj_s, ne1, SJ_SHR, jnp.zeros(A, i32), ddi, jnp)
+    sj_s = _sj_set(sj_s, ne1, SJ_ANNOT, jnp.zeros(A, i32), ddi, jnp)
+    sj_s = _sj_set(sj_s, ne1, SJ_STR, jnp.zeros(A, i32), ddi, jnp)
+    for fld, val in ((EX_RS, ra + jR + insv + 1), (EX_GS, ga + 1 + jR),
+                     (EX_LEN, r_b_end - ra - jR - insv), (EX_FRAG, fragB),
+                     (EX_SJA, sjA)):
+        ex_s = _ex_set(ex_s, nE, fld, val, ddi, jnp)
+    grew = dd | ddi
+    sc_s = sc_s.at[:, C_NEX].set(
+        jnp.where(grew, nE + 1, sc_s[:, C_NEX]))
+
+    # ================= mate path (PE only) =================
+    if cfg.has_pe:
+        mrej = jnp.zeros(A, bool)
+        if cfg.mates_gap_max > 0:
+            mrej = mateb & (gB > exgs_last + exlen_last + cfg.mates_gap_max)
+            dead = dead | mrej
+        mb = mateb & ~mrej
+        d_m = SCORE_MATCH * L
+        ext = cfg.ends_ext
+        te1 = jnp.where(jnp.clip(last_frag, 0, 1) == 0,
+                        bool(ext[0][1]), bool(ext[1][1]))
+        ok1, eL1, ms1, nM1, nMM1 = extend_dev(
+            Gf, n_g, RSf, lmax, floor_tab, ceil_tab, ntab, row,
+            tR2 + 1, tG2 + 1, 1, 1, jnp.full(A, 650, i32),
+            sc_s[:, C_NMATCH], sc_s[:, C_NMM], nmm_max, te1, Lpad + 2,
+            cfg, jnp)
+        u1 = mb & ok1
+        sc_s = add(C_NMATCH, u1, nM1)
+        sc_s = add(C_NMM, u1, nMM1)
+        d_m = d_m + jnp.where(u1, ms1, 0)
+        ne_last = jnp.maximum(sc_s[:, C_NEX] - 1, 0)
+        cur = _ex_get(ex_s, ne_last, EX_LEN, jnp)
+        ex_s = _ex_set(ex_s, ne_last, EX_LEN, cur + eL1, u1, jnp)
+        # junction -3 + new exon for mate B
+        jpos = jnp.maximum(nE - 1, 0)
+        sj_s = _sj_set(sj_s, jpos, SJ_CAN, jnp.full(A, -3, i32), mb, jnp)
+        sj_s = _sj_set(sj_s, jpos, SJ_SHL, jnp.zeros(A, i32), mb, jnp)
+        sj_s = _sj_set(sj_s, jpos, SJ_SHR, jnp.zeros(A, i32), mb, jnp)
+        sj_s = _sj_set(sj_s, jpos, SJ_ANNOT, jnp.zeros(A, i32), mb, jnp)
+        sj_s = _sj_set(sj_s, jpos, SJ_STR, jnp.zeros(A, i32), mb, jnp)
+        for fld, val in ((EX_RS, rB), (EX_GS, gB), (EX_LEN, L),
+                         (EX_FRAG, fragB), (EX_SJA, sjA)):
+            ex_s = _ex_set(ex_s, nE, fld, val, mb, jnp)
+        sc_s = sc_s.at[:, C_NEX].set(
+            jnp.where(mb, nE + 1, sc_s[:, C_NEX]))
+        sc_s = add(C_NMATCH, mb, L)
+        # backward extension of mate B start
+        te2 = jnp.where(jnp.clip(fragB, 0, 1) == 0,
+                        bool(ext[0][1]), bool(ext[1][1]))
+        extlen = jnp.where(te2, 650, gB - ex_gs0 + ex_rs0)
+        ok2, eL2, ms2, nM2, nMM2 = extend_dev(
+            Gf, n_g, RSf, lmax, floor_tab, ceil_tab, ntab, row,
+            rB - 1, gB - 1, -1, -1, extlen,
+            sc_s[:, C_NMATCH], sc_s[:, C_NMM], nmm_max, te2, Lpad + 2,
+            cfg, jnp)
+        u2 = mb & ok2
+        sc_s = add(C_NMATCH, u2, nM2)
+        sc_s = add(C_NMM, u2, nMM2)
+        d_m = d_m + jnp.where(u2, ms2, 0)
+        ne_last = jnp.maximum(sc_s[:, C_NEX] - 1, 0)
+        for fld, dv in ((EX_RS, -eL2), (EX_GS, -eL2), (EX_LEN, eL2)):
+            cur = _ex_get(ex_s, ne_last, fld, jnp)
+            ex_s = _ex_set(ex_s, ne_last, fld, cur + dv, u2, jnp)
+        d_score = jnp.where(mb, d_m, d_score)
+
+    # ================= final accept =================
+    acc = ~dead & ~first
+    sc_s = sc_s.at[:, C_SCORE].set(
+        jnp.where(acc, sc_s[:, C_SCORE] + d_score, sc_s[:, C_SCORE]))
+    sc_s = sc_s.at[:, C_TR2].set(jnp.where(acc, rB + L - 1, sc_s[:, C_TR2]))
+    sc_s = sc_s.at[:, C_TG2].set(jnp.where(acc, gB + L - 1, sc_s[:, C_TG2]))
+    sc_s = add(C_NUNIQ, acc & (nrepB == 1), 1)
+    sc_s = add(C_NANCH, acc & (anchB > 0), 1)
+
+    # merge first-exon and stitch branches
+    ok = first | acc
+    f2 = first[:, None]
+    sc_out = jnp.where(f2, sc_f, sc_s)
+    ex_out = jnp.where(f2, ex_f, ex_s)
+    sj_out = jnp.where(f2, sj, sj_s)
+    # set mask bit s on the new lane
+    lo_bit = jnp.where(s < 32, jnp.int32(1) << jnp.clip(s, 0, 31), 0)
+    hi_bit = jnp.where(s >= 32, jnp.int32(1) << jnp.clip(s - 32, 0, 31), 0)
+    sc_out = sc_out.at[:, C_MASK_LO].set(sc_out[:, C_MASK_LO] | lo_bit)
+    sc_out = sc_out.at[:, C_MASK_HI].set(sc_out[:, C_MASK_HI] | hi_bit)
+    return sc_out, ex_out, sj_out, ok
+
+
+# --------------------------------------------------------------------------
+# finalize engine (reference stitchWindowAligns.cpp:56-265 per chain):
+# end extensions + transcript filters, full-width masked over the frontier
+# --------------------------------------------------------------------------
+
+def glog2_breakpoints(scale: float):
+    """exact integer form of _glog2_score: f(g) = ceil(log2(g)*scale - 0.5)
+    as f(1) plus a count of threshold crossings, thresholds computed with
+    the same float64 arithmetic as the host."""
+    if scale == 0:
+        return 0, ()
+
+    def f(g):
+        return int(np.ceil(np.log2(np.float64(max(g, 1))) * np.float64(scale)
+                           - 0.5))
+
+    f1 = f(1)
+    bounds = []
+    gmax = 1 << 33
+    cur = f1
+    g = 1
+    while g < gmax:
+        # binary search the largest g' with f(g') == cur
+        lo, hi = g, gmax
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if f(mid) == cur:
+                lo = mid
+            else:
+                hi = mid - 1
+        if lo >= gmax - 1:
+            break
+        bounds.append(lo + 1)    # first g with the next value
+        cur = f(lo + 1)
+        g = lo + 1
+        if len(bounds) > 256:
+            raise ValueError("glog2 scale produces too many breakpoints")
+    step = -1 if scale < 0 else 1
+    return f1, tuple(int(b) for b in bounds), step
+
+
+@dataclass(frozen=True)
+class FinalCfg:
+    Lpad: int
+    has_pe: bool
+    ends_ext: tuple
+    soft_clip_ends: bool        # alignSoftClipAtReferenceEnds == Yes
+    sj_ovh_min: int             # alignSJoverhangMin
+    sjdb_ovh_min: int           # alignSJDBoverhangMin
+    rm_inconsistent_strands: bool
+    strand_field_intron: bool
+    intron_motifs_filter: int   # 0 none, 1 RemoveNoncanonical, 2 RemoveNoncanonicalUnannotated
+    glog2: tuple                # (f1, bounds, step) or (0, ()) if scale==0
+    glog2_on: bool
+
+
+def make_final_config(gi, P, Lpad, has_pe) -> FinalCfg:
+    ext = P.alignEndsTypeExt
+    imf = {"None": 0, "RemoveNoncanonical": 1,
+           "RemoveNoncanonicalUnannotated": 2}.get(P.outFilterIntronMotifs, 0)
+    scale = P.scoreGenomicLengthLog2scale
+    glog2 = glog2_breakpoints(scale) if scale != 0 else (0, (), 0)
+    return FinalCfg(
+        Lpad=int(Lpad), has_pe=bool(has_pe),
+        ends_ext=(tuple(bool(x) for x in ext[0]),
+                  tuple(bool(x) for x in ext[1])),
+        soft_clip_ends=P.alignSoftClipAtReferenceEnds == "Yes",
+        sj_ovh_min=int(P.alignSJoverhangMin),
+        sjdb_ovh_min=int(P.alignSJDBoverhangMin),
+        rm_inconsistent_strands=(P.outFilterIntronStrands
+                                 == "RemoveInconsistentStrands"),
+        strand_field_intron=P.outSAMstrandField == "intronMotif",
+        intron_motifs_filter=imf,
+        glog2=glog2, glog2_on=scale != 0)
+
+
+def make_finalize_engine(fc: FinalCfg, LTOT: int, NP: int, B: int,
+                         lmax: int, n_g: int, ntab: int):
+    """jitted finalize over the full frontier blocks.  pm2 [NP, 8] int32:
+    (cs, ce, lread, lim0, lim1, _, _, _).  Returns (SCAL, EXB, accept [LTOT]
+    int32, pe_flag [LTOT] int32)."""
+    import jax
+    import jax.numpy as jnp
+
+    def fin(SCAL, EXB, SJB, n_lanes, fb_read, pm2, Gf, RSf, floor_tab,
+            ceil_tab):
+        i32 = jnp.int32
+        L_ = LTOT
+        iota = jnp.arange(L_, dtype=i32)
+        mask_nz = (SCAL[:, C_MASK_LO] != 0) | (SCAL[:, C_MASK_HI] != 0)
+        pb = SCAL[:, C_PB]
+        fb_l = jnp.take(fb_read, jnp.clip(pb, 0, B - 1)) > 0
+        al = (iota < n_lanes) & mask_nz & ~fb_l & (SCAL[:, C_NEX] > 0)
+
+        prow = jnp.clip(SCAL[:, C_PROW], 0, NP - 1)
+        lread = jnp.take(pm2[:, 2], prow)
+        cs = jnp.take(pm2[:, 0], prow)
+        ce = jnp.take(pm2[:, 1], prow)
+        lim0 = jnp.take(pm2[:, 3], prow)
+        lim1 = jnp.take(pm2[:, 4], prow)
+        wstr = SCAL[:, C_WSTR]
+        row = SCAL[:, C_ROW]
+        nmm_max = SCAL[:, C_NMMMAX]
+        ext = fc.ends_ext
+        Lpad = fc.Lpad
+
+        def ex_get(E_, e_idx, fld):
+            return _ex_get(E_, e_idx, fld, jnp)
+
+        def do_ext(SCAL, EXB, which, go_mask):
+            """which: 'left' or 'right' (numpy ext_left / ext_right)"""
+            nE = SCAL[:, C_NEX]
+            last = jnp.maximum(nE - 1, 0)
+            if which == "left":
+                rS = EXB[:, EX_RS]
+                gS = EXB[:, EX_GS]
+                go = go_mask & (rS > 0)
+                imate = jnp.clip(EXB[:, EX_FRAG], 0, 1)
+                which_col = (wstr != imate).astype(i32)
+                l_prev = SCAL[:, C_TR2] - rS + 1
+                r0 = rS - 1
+                g0 = gS - 1
+                Lx = rS
+                dR = dG = -1
+            else:
+                go = go_mask & (SCAL[:, C_TR2] < lread - 1)
+                imate = jnp.clip(ex_get(EXB, last, EX_FRAG), 0, 1)
+                which_col = (imate == wstr).astype(i32)
+                rS0 = EXB[:, EX_RS]
+                l_prev = SCAL[:, C_TR2] - rS0 + 1
+                r0 = SCAL[:, C_TR2] + 1
+                g0 = SCAL[:, C_TG2] + 1
+                Lx = lread - SCAL[:, C_TR2] - 1
+                dR = dG = 1
+            # static 2x2 table lookup
+            t00, t01 = bool(ext[0][0]), bool(ext[0][1])
+            t10, t11 = bool(ext[1][0]), bool(ext[1][1])
+            te = jnp.where(imate == 0,
+                           jnp.where(which_col == 0, t00, t01),
+                           jnp.where(which_col == 0, t10, t11))
+            ok, eL, ms, nM, nMM = extend_dev(
+                Gf, n_g, RSf, lmax, floor_tab, ceil_tab, ntab, row,
+                r0, g0, dR, dG, Lx, l_prev, SCAL[:, C_NMM], nmm_max, te,
+                Lpad + 2, None, jnp)
+            u = go & ok
+            SCAL = SCAL.at[:, C_SCORE].add(jnp.where(u, ms, 0))
+            SCAL = SCAL.at[:, C_NMATCH].add(jnp.where(u, nM, 0))
+            SCAL = SCAL.at[:, C_NMM].add(jnp.where(u, nMM, 0))
+            if which == "left":
+                EXB = EXB.at[:, EX_RS].add(jnp.where(u, -eL, 0))
+                EXB = EXB.at[:, EX_GS].add(jnp.where(u, -eL, 0))
+                EXB = EXB.at[:, EX_LEN].add(jnp.where(u, eL, 0))
+            else:
+                cur = ex_get(EXB, last, EX_LEN)
+                EXB = _ex_set(EXB, last, EX_LEN, cur + eL, u, jnp)
+                SCAL = SCAL.at[:, C_TR2].add(jnp.where(u, eL, 0))
+                SCAL = SCAL.at[:, C_TG2].add(jnp.where(u, eL, 0))
+            return SCAL, EXB
+
+        fwd = al & (wstr == 0)
+        rev = al & (wstr == 1)
+        SCAL, EXB = do_ext(SCAL, EXB, "left", fwd)
+        SCAL, EXB = do_ext(SCAL, EXB, "right", fwd)
+        SCAL, EXB = do_ext(SCAL, EXB, "right", rev)
+        SCAL, EXB = do_ext(SCAL, EXB, "left", rev)
+
+        nE = SCAL[:, C_NEX]
+        last = jnp.maximum(nE - 1, 0)
+        rS0 = EXB[:, EX_RS]
+        gS0 = EXB[:, EX_GS]
+        rSl = ex_get(EXB, last, EX_RS)
+        gSl = ex_get(EXB, last, EX_GS)
+        lenl = ex_get(EXB, last, EX_LEN)
+        keep = al
+
+        if not fc.soft_clip_ends:
+            keep = keep & ~((gSl + lread - rSl > ce) | (gS0 < cs + rS0))
+
+        # exon/junction field matrices [L, E]
+        ecols = jnp.arange(E, dtype=i32)[None, :]
+        jocc = ecols < (nE - 1)[:, None]
+        exl = EXB.reshape(L_, E, 5)[:, :, EX_LEN]
+        can = SJB.reshape(L_, E, 5)[:, :, SJ_CAN]
+        shl = SJB.reshape(L_, E, 5)[:, :, SJ_SHL]
+        shr = SJB.reshape(L_, E, 5)[:, :, SJ_SHR]
+        annot = SJB.reshape(L_, E, 5)[:, :, SJ_ANNOT]
+        sstr = SJB.reshape(L_, E, 5)[:, :, SJ_STR]
+
+        can_prev = jnp.concatenate(
+            [jnp.full((L_, 1), -4, i32), can[:, :-1]], axis=1)
+        annot_prev = jnp.concatenate(
+            [jnp.zeros((L_, 1), i32), annot[:, :-1]], axis=1)
+        first_j = ecols == 0
+        last_j = ecols == (nE - 2)[:, None]
+        can_next = jnp.concatenate(
+            [can[:, 1:], jnp.full((L_, 1), -4, i32)], axis=1)
+        annot_next = jnp.concatenate(
+            [annot[:, 1:], jnp.zeros((L_, 1), i32)], axis=1)
+        exl_next = jnp.concatenate(
+            [exl[:, 1:], jnp.zeros((L_, 1), i32)], axis=1)
+        sj = jocc & (can >= 0)
+        ann1 = sj & (annot == 1)
+        bad_a = ann1 & (
+            ((exl < fc.sjdb_ovh_min)
+             & (first_j | (can_prev == -3)
+                | ((annot_prev == 0) & (can_prev >= 0))))
+            | ((exl_next < fc.sjdb_ovh_min)
+               & (last_j | (can_next == -3)
+                  | ((annot_next == 0) & (can_next >= 0)))))
+        ann0 = sj & (annot == 0)
+        bad_b = ann0 & ((exl < fc.sj_ovh_min + shl)
+                        | (exl_next < fc.sj_ovh_min + shr))
+        keep = keep & ~(bad_a | bad_b).any(axis=1)
+        # terminal annotated-junction overhang
+        has2 = nE > 1
+        lastj = jnp.clip(nE - 2, 0, E - 1)
+        keep = keep & ~(has2
+                        & (_ex_get(SJB, lastj, SJ_ANNOT, jnp) == 1)
+                        & (ex_get(EXB, last, EX_LEN) < fc.sjdb_ovh_min))
+
+        m1 = (sj & (sstr == 1)).sum(axis=1)
+        m2 = (sj & (sstr == 2)).sum(axis=1)
+        sjN = sj.sum(axis=1)
+        motif_strand = jnp.where((m1 > 0) & (m2 == 0), 1,
+                                 jnp.where((m1 == 0) & (m2 > 0), 2, 0))
+        if fc.rm_inconsistent_strands:
+            keep = keep & ~((m1 > 0) & (m2 > 0))
+        if fc.strand_field_intron:
+            keep = keep & ~((sjN > 0) & (motif_strand == 0))
+        if fc.intron_motifs_filter == 1:
+            keep = keep & ~(sj & (can == 0)).any(axis=1)
+        elif fc.intron_motifs_filter == 2:
+            keep = keep & ~(sj & (can == 0) & (annot == 0)).any(axis=1)
+
+        # spliced-mate mapped-length filter (exon-slot walk)
+        exfrag = EXB.reshape(L_, E, 5)[:, :, EX_FRAG]
+        exsum = jnp.zeros(L_, i32)
+        nsj = jnp.zeros(L_, i32)
+        bad = jnp.zeros(L_, bool)
+        for iex in range(E):
+            on = iex < nE
+            exsum = jnp.where(on, exsum + exl[:, iex], exsum)
+            end_here = on & ((iex == nE - 1) | (jocc[:, iex]
+                                                & (can[:, iex] == -3)))
+            fragx = jnp.clip(exfrag[:, min(iex, E - 1)], 0, 1)
+            fragx = jnp.where(iex < nE, fragx,
+                              jnp.clip(ex_get(EXB, last, EX_FRAG), 0, 1))
+            lim = jnp.where(fragx == 0, lim0, lim1)
+            bad = bad | (end_here & (nsj > 0) & (exsum < lim))
+            exsum = jnp.where(end_here, 0, exsum)
+            nsj = jnp.where(end_here, 0,
+                            jnp.where(on & jocc[:, iex] & (can[:, iex] >= 0),
+                                      nsj + 1, nsj))
+        keep = keep & ~bad
+
+        # PE overlap consistency: cheap part on device, rare part on host
+        fr0 = exfrag[:, 0]
+        frl = ex_get(EXB, last, EX_FRAG)
+        pe = al & (fr0 != frl)
+        if fc.has_pe:
+            keep = keep & ~(pe & (gSl + lenl <= gS0))
+        pe_host = (pe & keep).astype(i32)
+
+        # genomic-length log2 score (exact integer breakpoint form)
+        if fc.glog2_on:
+            f1, bounds, step = fc.glog2
+            glen = jnp.maximum(gSl + lenl - gS0, 1)
+            fval = jnp.full(L_, f1, i32)
+            for bnd in bounds:
+                fval = fval + jnp.where(glen >= bnd, step, 0)
+            SCAL = SCAL.at[:, C_SCORE].set(
+                jnp.where(al, jnp.maximum(SCAL[:, C_SCORE] + fval, 0),
+                          SCAL[:, C_SCORE]))
+
+        SCAL = SCAL.at[:, C_ACCEPT].set(keep.astype(i32))
+        return SCAL, EXB, keep.astype(i32), pe_host
+
+    return jax.jit(fin)
+
+def make_grow_engine(cfg: StitchConfig, LMAX: int, A_CAP: int, NP: int,
+                     B: int, lmax: int, n_g: int, ntab: int, nsj: int):
+    """compile-time shape bundle -> jitted grow fn.  All sizes static.
+
+    Engine inputs (device arrays):
+      Gf [>=n_g] int8, RSf [2B*lmax] uint8 flat,
+      wa_flat [NW*8] int32 (rows: rs, gs, len, frag, sja, nrep, anchor, _),
+      pm [NP, 8] int32 pair meta (waoff, wan, pb, pw, wstr, row, nmm, _),
+      floor_tab / ceil_tab [ntab] int32,
+      sjdb: s2, e2, idx, motif, shl, shr, strand (each [max(nsj,1)] int32)
+    Returns (SCAL [LTOT, NSCAL], EXB, SJB, n_lanes, fb_read [B] int32,
+             cnt [NP], overflow flag, n_iter)."""
+    import jax
+    import jax.numpy as jnp
+
+    LTOT = LMAX + A_CAP           # slack so appends never need bounds checks
+    s_max = cfg.s_max
+
+    def grow(Gf, RSf, wa_flat, pm, floor_tab, ceil_tab,
+             sj_s2, sj_e2, sj_idx, sj_motif, sj_shl, sj_shr, sj_strand,
+             fb_read0, s_hi):
+        i32 = jnp.int32
+        sjdb = (sj_s2, sj_e2, sj_idx, sj_motif, sj_shl, sj_shr, sj_strand)
+
+        # ---- initial frontier: one empty lane per pair
+        SCAL = jnp.zeros((LTOT, NSCAL), i32)
+        SCAL = SCAL.at[:NP, C_PROW].set(jnp.arange(NP, dtype=i32))
+        SCAL = SCAL.at[:NP, C_WAN].set(pm[:, 1])
+        SCAL = SCAL.at[:NP, C_PB].set(pm[:, 2])
+        SCAL = SCAL.at[:NP, C_PW].set(pm[:, 3])
+        SCAL = SCAL.at[:NP, C_WSTR].set(pm[:, 4])
+        SCAL = SCAL.at[:NP, C_ROW].set(pm[:, 5])
+        SCAL = SCAL.at[:NP, C_NMMMAX].set(pm[:, 6])
+        EXB = jnp.zeros((LTOT, NEXB), i32)
+        # ex_sja defaults to -1 (numpy _empty_lanes)
+        sel_sja = (jnp.arange(NEXB, dtype=i32) % 5) == EX_SJA
+        EXB = jnp.where(sel_sja[None, :], -1, EXB)
+        SJB = jnp.zeros((LTOT, NSJB), i32)
+        sdone = jnp.zeros(LTOT, i32)
+        n_lanes = jnp.int32(NP)
+        cnt = jnp.where(pm[:, 1] > 0, 1, 0).astype(i32)
+        s = jnp.int32(0)
+        fb = fb_read0.astype(i32)
+        overflow = jnp.int32(0)
+        it = jnp.int32(0)
+
+        # every iteration either advances s or consumes A_CAP candidates of
+        # the <= LTOT-lane frontier, so this bound cannot truncate a legal
+        # run; runaway (bug) loops still terminate and flag overflow=2
+        IT_MAX = s_max * (LTOT // A_CAP + 2) + 8
+
+        def cond(st):
+            (_, _, _, _, n_lanes, s, _, _, overflow, it) = st
+            return (s < s_hi) & (overflow == 0) & (it < IT_MAX)
+
+        def body(st):
+            (SCAL, EXB, SJB, sdone, n_lanes, s, cnt, fb, overflow, it) = st
+            lane_iota = jnp.arange(LTOT, dtype=i32)
+            valid = lane_iota < n_lanes
+            cand = valid & (s < SCAL[:, C_WAN]) & (sdone <= s)
+            n_c = cand.sum().astype(i32)
+            idx = jnp.nonzero(cand, size=A_CAP, fill_value=LTOT - 1)[0] \
+                .astype(i32)
+            live = jnp.arange(A_CAP, dtype=i32) < jnp.minimum(n_c, A_CAP)
+
+            # gather lane state (windowed gathers over the flat blocks)
+            sc = _win(SCAL.reshape(-1), idx * NSCAL, NSCAL, jnp)
+            ex = _win(EXB.reshape(-1), idx * NEXB, NEXB, jnp)
+            sj = _win(SJB.reshape(-1), idx * NSJB, NSJB, jnp)
+            prow = sc[:, C_PROW]
+            # read-level fallback: drop those lanes permanently
+            fb_l = jnp.take(fb, jnp.clip(sc[:, C_PB], 0, B - 1)) > 0
+            act = live & ~fb_l
+
+            # seed s of each lane's pair
+            waoff = jnp.take(pm[:, 0], jnp.clip(prow, 0, NP - 1))
+            seed = _win(wa_flat, (waoff + s) * 8, 8, jnp)
+
+            sc2, ex2, sj2, ok = _stitch_chunk(
+                jnp, cfg, Gf, n_g, RSf, lmax, floor_tab, ceil_tab, ntab,
+                sjdb, sc, ex, sj, seed, s)
+            ok = ok & act
+
+            # mark processed (sdone=s+1), kill fb lanes forever
+            mark = jnp.where(fb_l, jnp.int32(1 << 29), s + 1)
+            sdone = sdone.at[idx].set(jnp.where(live, mark, sdone[idx]))
+
+            # compact survivors within the chunk and append
+            n_new = ok.sum().astype(i32)
+            aidx = jnp.nonzero(ok, size=A_CAP, fill_value=A_CAP - 1)[0] \
+                .astype(i32)
+            new_live = jnp.arange(A_CAP, dtype=i32) < n_new
+            sc_n = _win(sc2.reshape(-1), aidx * NSCAL, NSCAL, jnp)
+            ex_n = _win(ex2.reshape(-1), aidx * NEXB, NEXB, jnp)
+            sj_n = _win(sj2.reshape(-1), aidx * NSJB, NSJB, jnp)
+            SCAL = jax.lax.dynamic_update_slice(SCAL, sc_n, (n_lanes, 0))
+            EXB = jax.lax.dynamic_update_slice(EXB, ex_n, (n_lanes, 0))
+            SJB = jax.lax.dynamic_update_slice(SJB, sj_n, (n_lanes, 0))
+            sdone = jax.lax.dynamic_update_slice(
+                sdone, jnp.full(A_CAP, s + 1, i32), (n_lanes,))
+            n_lanes = n_lanes + n_new
+            overflow = jnp.where(n_lanes > LMAX, 1, overflow)
+
+            # per-pair chain counts -> read-level fallback (chain_cap)
+            prow_n = jnp.where(new_live, sc_n[:, C_PROW], NP)
+            cnt = cnt.at[jnp.clip(prow_n, 0, NP - 1)].add(
+                jnp.where(new_live, 1, 0))
+            over_p = cnt > cfg.chain_cap
+            fb = fb.at[jnp.clip(pm[:, 2], 0, B - 1)].max(
+                jnp.where(over_p, 1, 0))
+
+            s = jnp.where(n_c <= A_CAP, s + 1, s)
+            return (SCAL, EXB, SJB, sdone, n_lanes, s, cnt, fb,
+                    overflow, it + 1)
+
+        st = (SCAL, EXB, SJB, sdone, n_lanes, s, cnt, fb, overflow, it)
+        st = jax.lax.while_loop(cond, body, st)
+        (SCAL, EXB, SJB, sdone, n_lanes, s, cnt, fb, overflow, it) = st
+        overflow = jnp.where((overflow == 0) & (s < s_hi), 2, overflow)
+        return SCAL, EXB, SJB, n_lanes, fb, cnt, overflow, it
+
+    return jax.jit(grow, static_argnums=())
+
+
+# --------------------------------------------------------------------------
+# select/pack engine: classify over-limit multimappers on device and
+# download only the lanes the host assembly will actually consume
+# --------------------------------------------------------------------------
+
+def make_select_engine(LTOT: int, NP: int, B: int, rng_mm: int,
+                       nmax_mm: int, DL_CAP: int):
+    """jitted post-finalize selection.  A read whose accepted lanes span
+    more than outFilterMultimapNmax score-proximate windows is provably
+    'mapped to too many loci' (each such window retains >= 1 transcript
+    through assembly dedup), so only its single best lane (the reference's
+    trBest tie-break: score desc, gLength asc, window asc, DFS-first) is
+    needed on host.  Returns compact indices + flags."""
+    import jax
+    import jax.numpy as jnp
+
+    def sel(SCAL, EXB, n_lanes, fb_read, pm):
+        i32 = jnp.int32
+        iota = jnp.arange(LTOT, dtype=i32)
+        mask_nz = (SCAL[:, C_MASK_LO] != 0) | (SCAL[:, C_MASK_HI] != 0)
+        pb = jnp.clip(SCAL[:, C_PB], 0, B - 1)
+        fb_l = jnp.take(fb_read, pb) > 0
+        acc = (iota < n_lanes) & mask_nz & ~fb_l & (SCAL[:, C_ACCEPT] > 0)
+        score = SCAL[:, C_SCORE]
+        prow = jnp.clip(SCAL[:, C_PROW], 0, NP - 1)
+        pb_p = jnp.clip(pm[:, 2], 0, B - 1)
+
+        NEGI = jnp.int32(-(1 << 30))
+        wmax_p = jnp.full(NP, NEGI, i32).at[prow].max(
+            jnp.where(acc, score, NEGI))
+        rmax_b = jnp.full(B, NEGI, i32).at[pb_p].max(wmax_p)
+        prox_p = (wmax_p > NEGI) & (wmax_p + rng_mm >= jnp.take(rmax_b, pb_p))
+        nwin_b = jnp.zeros(B, i32).at[pb_p].add(prox_p.astype(i32))
+        # soundness gate: assembly dedup can delete a higher-score list
+        # head only when a window holds accepted chains of DIFFERENT
+        # mappedLength (strict block coverage); with uniform mappedLength
+        # per prox window, every window head == its max accepted score and
+        # the per-window >=1-retained-transcript bound holds exactly
+        nEx = SCAL[:, C_NEX]
+        exl_all = EXB.reshape(LTOT, E, 5)[:, :, EX_LEN]
+        occ = jnp.arange(E, dtype=i32)[None, :] < nEx[:, None]
+        mlen = jnp.where(occ, exl_all, 0).sum(axis=1).astype(i32)
+        BIGI = jnp.int32(1 << 30)
+        mlmax_p = jnp.full(NP, NEGI, i32).at[prow].max(
+            jnp.where(acc, mlen, NEGI))
+        mlmin_p = jnp.full(NP, BIGI, i32).at[prow].min(
+            jnp.where(acc, mlen, BIGI))
+        unsafe_p = prox_p & (mlmax_p != mlmin_p)
+        unsafe_b = jnp.zeros(B, i32).at[pb_p].max(unsafe_p.astype(i32))
+        over_b = (nwin_b > nmax_mm) & (unsafe_b == 0)
+
+        # trBest per read: score desc, gLength asc, w asc, earliest DFS.
+        # DFS-first within (b, w): larger bit-reversed mask first; the
+        # reversed mask fits 50 bits -> compare via two 25-bit words.
+        gS0 = EXB[:, EX_GS]
+        glen = SCAL[:, C_TG2] + 1 - gS0
+        rb_l = jnp.take(rmax_b, pb)
+        is_best_s = acc & (score == rb_l)
+        BIG = jnp.int32(1 << 30)
+        gmin_b = jnp.full(B, BIG, i32).at[pb].min(
+            jnp.where(is_best_s, glen, BIG))
+        t2 = is_best_s & (glen == jnp.take(gmin_b, pb))
+        pw_l = SCAL[:, C_PW]
+        wmin_b = jnp.full(B, BIG, i32).at[pb].min(
+            jnp.where(t2, pw_l, BIG))
+        t3 = t2 & (pw_l == jnp.take(wmin_b, pb))
+        # DFS-first == max bit-reversed mask (strictly distinct per lane)
+        n_seeds = SCAL[:, C_WAN]
+        rev_hi = jnp.zeros(LTOT, i32)
+        rev_lo = jnp.zeros(LTOT, i32)
+        for s in range(50):
+            bit_lo = jnp.where(s < 32,
+                               (SCAL[:, C_MASK_LO] >> jnp.clip(s, 0, 31)) & 1,
+                               (SCAL[:, C_MASK_HI]
+                                >> jnp.clip(s - 32, 0, 31)) & 1)
+            pos = jnp.maximum(n_seeds - 1 - s, 0)
+            rev_hi = rev_hi | jnp.where(pos >= 25,
+                                        bit_lo << jnp.clip(pos - 25, 0, 24),
+                                        0)
+            rev_lo = rev_lo | jnp.where(pos < 25,
+                                        bit_lo << jnp.clip(pos, 0, 24), 0)
+        rhmax_b = jnp.full(B, NEGI, i32).at[pb].max(
+            jnp.where(t3, rev_hi, NEGI))
+        t4 = t3 & (rev_hi == jnp.take(rhmax_b, pb))
+        rlmax_b = jnp.full(B, NEGI, i32).at[pb].max(
+            jnp.where(t4, rev_lo, NEGI))
+        is_tb = t4 & (rev_lo == jnp.take(rlmax_b, pb))
+        lane_over = jnp.take(over_b, pb)
+        dl = acc & (~lane_over | is_tb)
+        # mask value 2 marks the single trBest lane of an over-limit read
+        dlm = jnp.where(dl, jnp.where(lane_over & is_tb, 2, 1), 0)
+        return dlm.astype(jnp.int8), over_b.astype(i32), dl.sum().astype(i32)
+
+    return jax.jit(sel)
+
+
+def make_pack_engine(LTOT: int, DL_CAP: int):
+    import jax
+    import jax.numpy as jnp
+
+    def pack(SCAL, EXB, SJB, idx):
+        idx = idx.astype(jnp.int32)
+        sc = _win(SCAL.reshape(-1), idx * NSCAL, NSCAL, jnp)
+        ex = _win(EXB.reshape(-1), idx * NEXB, NEXB, jnp)
+        sj = _win(SJB.reshape(-1), idx * NSJB, NSJB, jnp)
+        return sc, ex, sj
+
+    return jax.jit(pack)
+
+
+# --------------------------------------------------------------------------
+# host wrapper: numpy WA tables in -> numpy LaneState + fallback out
+# --------------------------------------------------------------------------
+
+_ENGINE_CACHE = {}
+_TABLE_CACHE = {}
+
+
+def _round_up(n, q):
+    return max(q, _ceil_div(n, q) * q)
+
+
+def device_tables(gi):
+    """device-resident G + sjdb tables, cached per index object"""
+    import jax
+    key = id(gi)
+    ent = _TABLE_CACHE.get(key)
+    if ent is None:
+        G = gi.G if gi.G.dtype == np.int8 else gi.G.view(np.int8)
+        Gf = jax.device_put(np.ascontiguousarray(G))
+        if gi.sjdb_n > 0:
+            n = gi.sjdb_n
+            order = np.lexsort((np.arange(n), gi.sjdb_end[:n],
+                                gi.sjdb_start[:n]))
+            s2 = gi.sjdb_start[:n][order].astype(np.int32)
+            e2 = gi.sjdb_end[:n][order].astype(np.int32)
+            oi = order.astype(np.int32)
+            sjt = tuple(jax.device_put(x) for x in (
+                s2, e2, oi, gi.sjdb_motif[:n].astype(np.int32),
+                gi.sjdb_shift_left[:n].astype(np.int32),
+                gi.sjdb_shift_right[:n].astype(np.int32),
+                gi.sjdb_strand[:n].astype(np.int32)))
+        else:
+            z = jax.device_put(np.zeros(1, np.int32))
+            sjt = (z,) * 7
+        ent = (Gf, sjt)
+        _TABLE_CACHE[key] = ent
+    return ent
+
+
+def grow_chains_device(gi, P, st, ws, RS, nmm_max_read, Lpad,
+                       s_max, chain_cap, lread=None, read_len2=None,
+                       rs_dev=None, classify=False):
+    """device grow (+ finalize when lread/read_len2 given) replacing
+    batch_engine.grow_chains for one level run.  st: WAStateP (numpy),
+    ws: WindowsState.  Mutates st.fallback exactly like the numpy engine
+    (chain_cap overflows); capacity overflows retry split/doubled.
+    Returns (LaneState in DFS visit order, accept bool array or None)."""
+    import jax
+    import jax.numpy as jnp
+    from .batch_engine import FB_STATS, LaneState, _empty_lanes, _lanes_take
+
+    B = ws.n_reads
+    NPr = len(st.pb)
+    live_pair = (st.wa_n > 0) & ~st.fallback[st.pb]
+    if not live_pair.any():
+        z = np.zeros(0, np.int64)
+        empty = _lanes_take(_empty_lanes(z, z, z), np.zeros(0, np.int64))
+        return (empty, (np.zeros(0, bool) if lread is not None else None),
+                None)
+
+    has_pe = bool((RS == 11).any())   # MARK_FRAG_SPACER_BASE present
+    cfg = make_config(gi, P, Lpad, s_max, chain_cap, has_pe)
+
+    # ---- flat WA upload (only live pairs, s_max-padded rows)
+    NP = int(live_pair.sum())
+    pidx = np.nonzero(live_pair)[0]
+    wan = st.wa_n[pidx].astype(np.int32)
+    NW = int(wan.sum())
+    waoff = np.zeros(NP, np.int32)
+    waoff[1:] = np.cumsum(wan)[:-1]
+    rows = np.zeros((NW, 8), np.int32)
+    src_p = np.repeat(pidx, wan)
+    src_s = np.arange(NW) - np.repeat(waoff, wan)
+    rows[:, 0] = st.wa_rs[src_p, src_s]
+    rows[:, 1] = st.wa_gs[src_p, src_s]
+    rows[:, 2] = st.wa_len[src_p, src_s]
+    rows[:, 3] = st.wa_frag[src_p, src_s]
+    rows[:, 4] = st.wa_sja[src_p, src_s]
+    rows[:, 5] = np.minimum(st.wa_nrep[src_p, src_s], 1 << 30)
+    rows[:, 6] = st.wa_anchor[src_p, src_s]
+
+    pm = np.zeros((NP, 8), np.int32)
+    pm[:, 0] = waoff
+    pm[:, 1] = wan
+    pm[:, 2] = st.pb[pidx]
+    pm[:, 3] = st.pw[pidx]
+    wstr = ws.win_str[st.pb[pidx], st.pw[pidx]].astype(np.int32)
+    pm[:, 4] = wstr
+    pm[:, 5] = st.pb[pidx].astype(np.int32) + B * wstr
+    pm[:, 6] = nmm_max_read[st.pb[pidx]].astype(np.int32)
+
+    # per-pair finalize meta (device finalize enabled when lread given)
+    pm2 = None
+    fc = None
+    if lread is not None:
+        pb_g = st.pb[pidx]
+        chrw = ws.win_chr[pb_g, st.pw[pidx]].astype(np.int64)
+        cs = gi.chr_start[chrw].astype(np.int64)
+        ce = cs + gi.chr_length[chrw].astype(np.int64)
+        lim = np.maximum(
+            P.alignSplicedMateMapLmin,
+            np.floor(P.alignSplicedMateMapLminOverLmate
+                     * read_len2.astype(np.float64)).astype(np.int64))
+        pm2 = np.zeros((NP, 8), np.int32)
+        pm2[:, 0] = cs
+        pm2[:, 1] = np.minimum(ce, np.iinfo(np.int32).max)
+        pm2[:, 2] = lread[pb_g]
+        pm2[:, 3] = lim[pb_g, 0]
+        pm2[:, 4] = lim[pb_g, 1]
+        fc = make_final_config(gi, P, Lpad, has_pe)
+
+    ntab = 4 * (Lpad + 16)
+    floor_tab, ceil_tab = mm_cap_tables(P.outFilterMismatchNoverLmax, ntab)
+    Gf, sjt = device_tables(gi)
+    lmax = RS.shape[1]
+    if rs_dev is None:
+        rs_dev = jax.device_put(np.ascontiguousarray(RS.reshape(-1)))
+    ft_dev = jax.device_put(floor_tab)
+    ct_dev = jax.device_put(ceil_tab)
+
+    # ---- partition pairs into read-aligned groups bounded by seed budget
+    # (a >1M-lane frontier in one dispatch OOMs the 16 GB chip; pairs of one
+    # read stay together so chain-cap suppression matches the numpy engine)
+    BUDGET = 1 << 17 if s_max > 16 else 1 << 20
+    groups = []
+    g0 = 0
+    acc = 0
+    for i in range(NP):
+        acc += int(wan[i])
+        if acc >= BUDGET and (i + 1 == NP or pm[i + 1, 2] != pm[i, 2]):
+            groups.append((g0, i + 1))
+            g0 = i + 1
+            acc = 0
+    if g0 < NP:
+        groups.append((g0, NP))
+
+    classify_ok = (fc is not None and classify
+                   and _os.environ.get("STAR_TPU_DEV_CLASSIFY", "1") != "0")
+    parts = []
+    for (a, b_) in groups:
+        parts.append(_run_group(
+            gi, P, st, cfg, rows, pm, wan, pidx, a, b_, B, lmax, ntab,
+            Gf, rs_dev, ft_dev, ct_dev, sjt, s_max, pm2=pm2, fc=fc,
+            lread=lread, classify_ok=classify_ok))
+    from .batch_engine import _lanes_concat
+    out, acc, over = parts[0]
+    for p, a2, o2 in parts[1:]:
+        out = _lanes_concat(out, p)
+        if acc is not None:
+            acc = np.concatenate([acc, a2])
+        if o2 is not None:
+            over = o2 if over is None else (over | o2)
+    return out, acc, over
+
+
+def _run_group(gi, P, st, cfg, rows, pm, wan, pidx, a, b_, B, lmax, ntab,
+               Gf, rs_dev, ft_dev, ct_dev, sjt, s_max, pm2=None, fc=None,
+               lread=None, classify_ok=False):
+    import jax
+    from .batch_engine import FB_STATS
+
+    NPg = b_ - a
+    lo_w = int(pm[a, 0])
+    hi_w = int(pm[b_ - 1, 0] + wan[b_ - 1])
+    rows_g = rows[lo_w:hi_w]
+    pm_g = pm[a:b_].copy()
+    pm_g[:, 0] -= lo_w
+    wan_g = wan[a:b_]
+
+    NP_b = _round_up(NPg, 4096)
+    NW_b = _round_up(len(rows_g), 8192)
+    pm_p = np.zeros((NP_b, 8), np.int32)
+    pm_p[:NPg] = pm_g
+    rows_p = np.zeros((NW_b, 8), np.int32)
+    rows_p[:len(rows_g)] = rows_g
+    guess = NPg * 8 + (3 if s_max <= 16 else 2) * len(rows_g)
+    HARD = 1 << 20
+    LMAX = _round_up(min(max(guess, 1 << 15), HARD), 1 << 15)
+    A_CAP = min(_round_up(max(NPg, 1 << 14), 1 << 14), 1 << 17)
+
+    while True:
+        key = (cfg, LMAX, A_CAP, NP_b, B, lmax, int(gi.n_genome), ntab,
+               int(gi.sjdb_n))
+        eng = _ENGINE_CACHE.get(key)
+        if eng is None:
+            eng = make_grow_engine(cfg, LMAX, A_CAP, NP_b, B, lmax,
+                                   int(gi.n_genome), ntab, int(gi.sjdb_n))
+            _ENGINE_CACHE[key] = eng
+        out = eng(Gf, rs_dev, jax.device_put(rows_p.reshape(-1)),
+                  jax.device_put(pm_p), ft_dev, ct_dev, *sjt,
+                  jax.device_put(st.fallback.astype(np.int32)),
+                  np.int32(int(wan_g.max())))
+        SCAL, EXB, SJB, n_lanes, fb, cnt, overflow, n_iter = out
+        if int(overflow) == 0:
+            break
+        FB_STATS['dev_retry_capacity'] += 1
+        if LMAX >= HARD:
+            if NPg > 1:
+                mid = a + NPg // 2
+                # split on a read boundary
+                while mid < b_ - 1 and pm[mid, 2] == pm[mid - 1, 2]:
+                    mid += 1
+                from .batch_engine import _lanes_concat
+                l1, a1, o1 = _run_group(
+                    gi, P, st, cfg, rows, pm, wan, pidx, a, mid, B, lmax,
+                    ntab, Gf, rs_dev, ft_dev, ct_dev, sjt, s_max, pm2=pm2,
+                    fc=fc, lread=lread, classify_ok=classify_ok)
+                l2, a2, o2 = _run_group(
+                    gi, P, st, cfg, rows, pm, wan, pidx, mid, b_, B, lmax,
+                    ntab, Gf, rs_dev, ft_dev, ct_dev, sjt, s_max, pm2=pm2,
+                    fc=fc, lread=lread, classify_ok=classify_ok)
+                acc = (np.concatenate([a1, a2]) if a1 is not None else None)
+                ov = (o1 | o2) if o1 is not None and o2 is not None \
+                    else (o1 if o1 is not None else o2)
+                return _lanes_concat(l1, l2), acc, ov
+            raise MemoryError("device stitch frontier exceeded hard cap")
+        LMAX = min(LMAX * 2, HARD)
+
+    fb_new = np.asarray(fb).astype(bool)
+    newly = fb_new & ~st.fallback
+    if newly.any():
+        FB_STATS['chain_cap'] += int(newly.sum())
+    st.fallback |= fb_new
+
+    accept_h = pe_h = over_h = None
+    if fc is not None:
+        import jax
+        LTOT = SCAL.shape[0]
+        fkey = (fc, LTOT, NP_b, B, lmax, int(gi.n_genome), ntab)
+        feng = _ENGINE_CACHE.get(fkey)
+        if feng is None:
+            feng = make_finalize_engine(fc, LTOT, NP_b, B, lmax,
+                                        int(gi.n_genome), ntab)
+            _ENGINE_CACHE[fkey] = feng
+        pm2_p = np.zeros((NP_b, 8), np.int32)
+        pm2_p[:NPg] = pm2[a:b_]
+        pm_dev = jax.device_put(pm_p)
+        SCAL, EXB, accept_d, pe_d = feng(
+            SCAL, EXB, SJB, n_lanes, fb, jax.device_put(pm2_p), Gf, rs_dev,
+            ft_dev, ct_dev)
+        n_l = int(n_lanes)
+        # over-limit classification + selective download (SE lazy configs;
+        # the PE keep-fix happens host-side AFTER tb selection, so PE runs
+        # download everything)
+        min_lanes = int(_os.environ.get("STAR_TPU_DEV_CLASSIFY_MIN",
+                                        str(1 << 15)))
+        classify = (not cfg.has_pe and classify_ok and int(n_l) > min_lanes)
+        if classify:
+            LTOT_ = SCAL.shape[0]
+            skey = ("sel", LTOT_, NP_b, B, int(P.outFilterMultimapScoreRange),
+                    int(P.outFilterMultimapNmax))
+            seng = _ENGINE_CACHE.get(skey)
+            if seng is None:
+                seng = make_select_engine(
+                    LTOT_, NP_b, B, int(P.outFilterMultimapScoreRange),
+                    int(P.outFilterMultimapNmax), 0)
+                _ENGINE_CACHE[skey] = seng
+            dlm_d, over_d, n_dl_d = seng(SCAL, EXB, n_lanes, fb, pm_dev)
+            dlm = np.asarray(dlm_d[:n_l])
+            over_h = np.asarray(over_d).astype(bool)
+            idx = np.nonzero(dlm)[0].astype(np.int32)
+            DL_CAP = _round_up(len(idx), 1 << 13)
+            pkey = ("pack", SCAL.shape[0], DL_CAP)
+            peng = _ENGINE_CACHE.get(pkey)
+            if peng is None:
+                peng = make_pack_engine(SCAL.shape[0], DL_CAP)
+                _ENGINE_CACHE[pkey] = peng
+            idx_p = np.full(DL_CAP, max(int(n_l) - 1, 0), np.int32)
+            idx_p[:len(idx)] = idx
+            sc_d, ex_d, sj_d = peng(SCAL, EXB, SJB, jax.device_put(idx_p))
+            SCALh = np.asarray(sc_d)[:len(idx)]
+            EXh = np.asarray(ex_d)[:len(idx)]
+            SJh = np.asarray(sj_d)[:len(idx)]
+            res = lanes_from_blocks(
+                SCALh, EXh, SJh, pidx[a:b_], st, s_max,
+                accept=np.ones(len(idx), bool),
+                pe=np.zeros(len(idx), bool), P=P, lread=lread)
+            return res[0], res[1], over_h
+        accept_h = np.asarray(accept_d[:n_l]).astype(bool)
+        pe_h = np.asarray(pe_d[:n_l]).astype(bool)
+
+    n_lanes = int(n_lanes)
+    # ---- download the completed frontier and select/sort on host
+    SCALh = np.asarray(SCAL[:n_lanes])
+    EXh = np.asarray(EXB[:n_lanes])
+    SJh = np.asarray(SJB[:n_lanes])
+    res = lanes_from_blocks(SCALh, EXh, SJh, pidx[a:b_], st, s_max,
+                            accept=accept_h, pe=pe_h, P=P, lread=lread)
+    if accept_h is not None:
+        return res[0], res[1], None
+    return res, None, None
+
+
+def lanes_from_blocks(SCALh, EXh, SJh, pidx, st, s_max, accept=None,
+                      pe=None, P=None, lread=None):
+    """packed device blocks -> numpy LaneState in DFS visit order
+    (mirrors the tail of batch_engine.grow_chains); accept/pe (if given)
+    are permuted identically and returned alongside, with the numpy
+    finalize's host-side PE-overlap consistency check applied"""
+    from .batch_engine import LaneState
+
+    mask = SCALh[:, C_MASK_LO].astype(np.int64) \
+        | (SCALh[:, C_MASK_HI].astype(np.int64) << 32)
+    prow_l = pidx[np.clip(SCALh[:, C_PROW], 0, max(len(pidx) - 1, 0))] \
+        if len(pidx) else SCALh[:, C_PROW].astype(np.int64)
+    sel = (mask != 0) & ~st.fallback[st.pb[prow_l]]
+    si = np.nonzero(sel)[0]
+    SCALh = SCALh[si]
+    EXh = EXh[si]
+    SJh = SJh[si]
+    mask = mask[si]
+    prow_l = prow_l[si]
+
+    n = st.wa_n[prow_l].astype(np.int64)
+    rev = np.zeros(len(si), np.int64)
+    for s in range(s_max):
+        bit = (mask >> s) & 1
+        rev |= bit << np.maximum(n - 1 - s, 0)
+    b = st.pb[prow_l].astype(np.int32)
+    w = st.pw[prow_l].astype(np.int32)
+    order = np.lexsort((-rev, w, b))
+    SCALh = SCALh[order]
+    EXh = EXh[order]
+    SJh = SJh[order]
+    acc_out = pe_out = None
+    if accept is not None:
+        acc_out = accept[si][order]
+        pe_out = pe[si][order]
+
+    exv = EXh.reshape(len(order), E, 5).astype(np.int64)
+    sjv = SJh.reshape(len(order), E, 5).astype(np.int64)
+    g = lambda c: SCALh[:, c].astype(np.int64)
+    lanes = LaneState(
+        b=b[order], w=w[order], prow=prow_l[order].astype(np.int32),
+        mask=mask[order], dfs=np.zeros(len(order), np.int32),
+        ex_rs=exv[:, :, EX_RS], ex_gs=exv[:, :, EX_GS],
+        ex_len=exv[:, :, EX_LEN],
+        ex_frag=exv[:, :, EX_FRAG].astype(np.int8),
+        ex_sja=exv[:, :, EX_SJA],
+        sj_can=sjv[:, :, SJ_CAN].astype(np.int32),
+        sj_shl=sjv[:, :, SJ_SHL].astype(np.int32),
+        sj_shr=sjv[:, :, SJ_SHR].astype(np.int32),
+        sj_annot=sjv[:, :, SJ_ANNOT].astype(np.int32),
+        sj_str=sjv[:, :, SJ_STR].astype(np.int32),
+        n_ex=g(C_NEX).astype(np.int32), n_mm=g(C_NMM), n_match=g(C_NMATCH),
+        n_gap=g(C_NGAP), l_gap=g(C_LGAP), n_del=g(C_NDEL), l_del=g(C_LDEL),
+        n_ins=g(C_NINS), l_ins=g(C_LINS),
+        n_uniq=g(C_NUNIQ).astype(np.int32),
+        n_anchor=g(C_NANCH).astype(np.int32),
+        score=g(C_SCORE), tR2=g(C_TR2), tG2=g(C_TG2),
+        alive=np.ones(len(order), bool))
+    if acc_out is None:
+        return lanes
+    if pe_out.any():
+        _pe_overlap_keep_fix(P, lanes, acc_out, pe_out, lread)
+    return lanes, acc_out
+
+
+def _pe_overlap_keep_fix(P, lanes, accept, pe_mask, lread_by_read):
+    """host-side tail of the numpy finalize's PE-overlap consistency check
+    (batch_engine.finalize_lanes, reference stitchWindowAligns.cpp:179-219);
+    runs per flagged lane — PE overlaps are rare"""
+    cand = np.nonzero(pe_mask & accept)[0]
+    for c in cand:
+        g = int(c)
+        ne = int(lanes.n_ex[g])
+        exons = [[int(lanes.ex_rs[g, e]), int(lanes.ex_gs[g, e]),
+                  int(lanes.ex_len[g, e])] for e in range(ne)]
+        canv = [int(lanes.sj_can[g, e]) for e in range(ne - 1)]
+        Lread = int(lread_by_read[int(lanes.b[g])])
+        iexM2 = ne
+        for iex in range(ne - 1):
+            if canv[iex] == -3:
+                iexM2 = iex + 1
+                break
+        if exons[iexM2 - 1][1] + exons[iexM2 - 1][2] <= exons[iexM2][1]:
+            continue
+        if exons[0][1] > exons[iexM2][1] + exons[0][0] \
+                + P.alignEndsProtrudeMax:
+            accept[c] = False
+            continue
+        if (exons[iexM2 - 1][1] + exons[iexM2 - 1][2]
+                > exons[-1][1] + Lread - exons[-1][0]
+                + P.alignEndsProtrudeMax):
+            accept[c] = False
+            continue
+        iex1 = 1
+        iex2 = iexM2 + 1
+        while iex1 < iexM2:
+            if exons[iex1][1] >= exons[iex2 - 1][1] + exons[iex2 - 1][2]:
+                break
+            iex1 += 1
+        while iex1 < iexM2 and iex2 < ne:
+            if canv[iex1 - 1] < 0:
+                iex1 += 1
+                continue
+            if canv[iex2 - 1] < 0:
+                iex2 += 1
+                continue
+            if (exons[iex1][1] != exons[iex2][1]
+                    or exons[iex1 - 1][1] + exons[iex1 - 1][2]
+                    != exons[iex2 - 1][1] + exons[iex2 - 1][2]):
+                accept[c] = False
+                break
+            iex1 += 1
+            iex2 += 1

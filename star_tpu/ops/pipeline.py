@@ -69,6 +69,91 @@ def _shift_rows(x, s):
     return x
 
 
+def make_fused_seed_fn(di: DeviceIndex, D: int, NC: int, OCAP: int):
+    """the whole reference seed loop (ReadAlign_mapOneRead.cpp:65-78) as ONE
+    jitted lax.while_loop over rounds: chains stay device-resident, each
+    round probes every live chain (x D sparse phase offsets) and appends the
+    probe records to a compact output buffer.  Replaces the per-round
+    host-compaction dispatches of _run_chains (each of which paid a remote
+    dispatch + D2H round trip); the host downloads one flat probe table at
+    the end.  All shapes static: NC chains, OCAP output rows."""
+    import jax
+    mmp = make_mmp_fn(di)
+    QL = di.ql
+
+    def fused(t2f, saf, saif, read_mat, c_read, c_pstart, c_plen, c_dir,
+              c_istl, valid0, smin):
+        i32 = jnp.int32
+        RW = read_mat.shape[1]
+        rows = jnp.take(read_mat, c_read, axis=0)          # [NC, RW]
+        xr = 3 - rows[:, ::-1]
+        fwd = c_dir[:, None] == 0
+        xrow = jnp.where(fwd, rows, xr)
+
+        def one_probe(l_mapped, d, active):
+            adv = c_istl + l_mapped + d
+            start = jnp.where(c_dir == 0, c_pstart + adv,
+                              c_pstart + c_plen - 1 - adv)
+            slen = c_plen - l_mapped - c_istl - d
+            sh = jnp.where(c_dir == 0, start, RW - 1 - start)
+            q = _shift_rows(xrow, sh)[:, :QL]
+            pos = jax.lax.broadcasted_iota(i32, (NC, QL), 1)
+            q = jnp.where(pos < slen[:, None], q, -1)
+            run = active & (slen > 0)
+            maxl, nrep, lo, hi = mmp(t2f, saf, saif, q,
+                                     jnp.maximum(slen, 0), valid=run)
+            return maxl, nrep, lo, hi, slen
+
+        def cond(st):
+            l_mapped, active, out, n_out, nprobes, mbest_acc, k, ovf = st
+            return active.any() & (k < MAXP) & (ovf == 0)
+
+        def body(st):
+            l_mapped, active, out, n_out, nprobes, mbest_acc, k, ovf = st
+            res = []
+            mb = jnp.full(NC, -1, i32)
+            for d in range(D):
+                maxl, nrep, lo, hi, slen = one_probe(l_mapped, d, active)
+                val = d < slen
+                res.append((jnp.where(val, maxl, 0), nrep, lo, hi))
+                mb = jnp.maximum(mb, jnp.where(val, maxl + d, -1))
+            mb = jnp.where(active, jnp.maximum(mb, 0), 0)
+            # append D rows per active chain, compacted
+            n_act = active.sum().astype(i32)
+            idx = jnp.nonzero(active, size=NC, fill_value=NC - 1)[0] \
+                .astype(i32)
+            blk = jnp.zeros((NC * D, 8), i32)
+            for d, (maxl, nrep, lo, hi) in enumerate(res):
+                rowvals = jnp.stack(
+                    [idx, jnp.full(NC, k, i32), jnp.full(NC, d, i32),
+                     jnp.take(maxl, idx), jnp.take(nrep, idx),
+                     jnp.take(lo, idx), jnp.take(hi, idx),
+                     jnp.zeros(NC, i32)], axis=1)
+                blk = blk.at[d::D].set(rowvals)
+            out = jax.lax.dynamic_update_slice(out, blk, (n_out, 0))
+            n_out = n_out + n_act * D
+            ovf = jnp.where(n_out > OCAP - NC * D, 1, ovf)
+            nprobes = nprobes + active.astype(i32)
+            mbest_acc = jax.lax.dynamic_update_slice(
+                mbest_acc, jnp.where(active, mb, 0)[:, None], (0, k))
+            l_mapped = l_mapped + jnp.where(active, mb, 0)
+            active = active & (mb > 0) \
+                & (c_istl + l_mapped + smin < c_plen)
+            return (l_mapped, active, out, n_out, nprobes, mbest_acc,
+                    k + 1, ovf)
+
+        l0 = jnp.zeros(NC, jnp.int32)
+        act0 = valid0 & (c_istl + smin < c_plen)
+        st = (l0, act0, jnp.zeros((OCAP, 8), jnp.int32), jnp.int32(0),
+              jnp.zeros(NC, jnp.int32), jnp.zeros((NC, MAXP), jnp.int32),
+              jnp.int32(0), jnp.int32(0))
+        st = jax.lax.while_loop(cond, body, st)
+        (l_mapped, active, out, n_out, nprobes, mbest_acc, k, ovf) = st
+        return out, n_out, nprobes, mbest_acc, ovf
+
+    return jax.jit(fused)
+
+
 def make_seed_round(di: DeviceIndex):
     """returns jitted fn for ONE probe round over compacted chain lanes:
         (read_mat [R, RW] int8 device-resident, c_read, start, c_dir, slen,
@@ -203,13 +288,14 @@ class DeviceAligner:
         probes = None
         if NC:
             with _tick("seed_loop"):
-                probes = self._run_chains(
-                    read_mat,
-                    np.asarray(c_read, np.int32),
-                    np.asarray(c_pstart, np.int32),
-                    np.asarray(c_plen, np.int32),
-                    np.asarray(c_dir, np.int32),
-                    np.asarray(c_istl, np.int32))
+                cargs = (np.asarray(c_read, np.int32),
+                         np.asarray(c_pstart, np.int32),
+                         np.asarray(c_plen, np.int32),
+                         np.asarray(c_dir, np.int32),
+                         np.asarray(c_istl, np.int32))
+                probes = self._run_chains_fused(read_mat, *cargs)
+                if probes is None:
+                    probes = self._run_chains(read_mat, *cargs)
 
         with _tick("replay"):
             seeds_by_read, seed_flat = _replay_store_aligns(
@@ -340,6 +426,70 @@ class DeviceAligner:
         out = self.seed_round(cvp, op, sp, val)
         return [np.asarray(x)[:n] for x in out]
 
+    _fused_cache = {}
+
+    def _run_chains_fused(self, read_mat, c_read, c_pstart, c_plen, c_dir,
+                          c_istl):
+        """single-dispatch seed loop (make_fused_seed_fn); returns the same
+        probe arrays as _run_chains or None when unavailable/overflowed"""
+        if _os.environ.get("STAR_TPU_FUSED_SEED", "1") == "0" \
+                or not self.seed_round_budgeted:
+            return None
+        NC = len(c_read)
+        D = int(getattr(self.gi, "sa_sparse_d", 1)) or 1
+        NCb = 1 << max(12, (NC - 1).bit_length())
+        QL = self._ql
+        Rp = max(self.batch_size, read_mat.shape[0])
+        rmp = np.full((Rp, QL), -1, np.int8)
+        rmp[:read_mat.shape[0], :read_mat.shape[1]] = read_mat
+        rm_dev = jax.device_put(rmp)
+        pad = lambda a: np.concatenate(
+            [a, np.zeros(NCb - NC, a.dtype)]) if NCb != NC else a
+        args = [pad(np.asarray(x, np.int32)) for x in
+                (c_read, c_pstart, c_plen, c_dir, c_istl)]
+        valid0 = np.zeros(NCb, bool)
+        valid0[:NC] = True
+        di = self.di
+        OCAP = NCb * D * 8
+        for _attempt in range(2):
+            key = (id(di), NCb, OCAP, D, QL)
+            eng = self._fused_cache.get(key)
+            if eng is None:
+                eng = make_fused_seed_fn(di, D, NCb, OCAP)
+                self._fused_cache[key] = eng
+            out, n_out, nprobes, mbest_acc, ovf = eng(
+                di.t2f, di.saf, di.saif, rm_dev, *[jax.device_put(a)
+                                                   for a in args],
+                jax.device_put(valid0), jnp.int32(self.P.seedMapMin))
+            if int(ovf) == 0:
+                break
+            OCAP *= 8
+        else:
+            return None
+        if int(ovf) != 0:
+            return None
+        n_o = int(n_out)
+        rows = np.asarray(out[:max(n_o, 1)])[:n_o]
+        nprobes = np.asarray(nprobes)[:NC]
+        np_max = int(nprobes.max()) if NC else 0
+        mbest = np.zeros((NC, MAXP), np.int32)
+        if np_max:
+            mbest[:, :np_max] = np.asarray(
+                mbest_acc[:, :np_max])[:NC]
+        oml = np.zeros((NC, MAXP, D), np.int32)
+        onr = np.zeros_like(oml)
+        olo = np.zeros_like(oml)
+        ohi = np.zeros_like(oml)
+        if n_o:
+            ci, ki, di_ = rows[:, 0], rows[:, 1], rows[:, 2]
+            keep = ci < NC
+            ci, ki, di_ = ci[keep], ki[keep], di_[keep]
+            oml[ci, ki, di_] = rows[keep, 3]
+            onr[ci, ki, di_] = rows[keep, 4]
+            olo[ci, ki, di_] = rows[keep, 5]
+            ohi[ci, ki, di_] = rows[keep, 6]
+        return oml, onr, olo, ohi, mbest, nprobes
+
     def _run_chains(self, read_mat, c_read, c_pstart, c_plen, c_dir, c_istl):
         """the reference's per-read seed loop (ReadAlign_mapOneRead.cpp:65-78)
         as batched device rounds with host-side chain compaction: each round
@@ -459,7 +609,8 @@ def _fast_finish(host, res, seeds, pre, P, gi):
         host._finish_unmapped(res)
         return res
 
-    win_list, msm = pre
+    win_list, msm = pre[0], pre[1]
+    over = len(pre) > 2 and pre[2]
     tb = None
     for win in win_list:
         w0 = win[0]
@@ -473,12 +624,19 @@ def _fast_finish(host, res, seeds, pre, P, gi):
 
     max_score = tb.maxScore
     rng = P.outFilterMultimapScoreRange
-    prox = []
-    for win in win_list:
-        for t in win:
-            if t.maxScore + rng >= max_score:
-                prox.append(t)
-    n_tr = len(prox)
+    if over:
+        # device-classified too-many-loci read (ops/device_stitch.py
+        # select engine): n_tr provably exceeds the cap; its exact value
+        # is not consumed anywhere downstream
+        prox = []
+        n_tr = P.outFilterMultimapNmax + 1
+    else:
+        prox = []
+        for win in win_list:
+            for t in win:
+                if t.maxScore + rng >= max_score:
+                    prox.append(t)
+        n_tr = len(prox)
     res.n_tr = n_tr
     res.all_win_tr = []
 

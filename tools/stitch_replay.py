@@ -20,20 +20,45 @@ import time
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 os.environ.setdefault("STAR_TPU_TIMING", "1")
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# default to CPU (the environment's sitecustomize pins the TPU platform
+# programmatically, so set the jax config too); pass --tpu to use the chip
+if "--tpu" not in sys.argv:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
 
-def summarize(results, fallback):
-    """stable digest of the engine output for cross-version comparison"""
+def summarize(results, fallback, P):
+    """stable digest of the engine output for cross-version comparison;
+    normalizes 'mapped to too many loci' reads to what _fast_finish
+    actually consumes (the device path ships only their trBest lane)"""
     out = {}
-    for b, (win_list, msm) in sorted(results.items()):
-        rows = []
+    nmax = P.outFilterMultimapNmax
+    rng = P.outFilterMultimapScoreRange
+    for b, pre in sorted(results.items()):
+        win_list, msm = pre[0], pre[1]
+        over = len(pre) > 2 and pre[2]
+        tb = None
         for win in win_list:
-            for t in win:
-                tr = t
-                rows.append((tr.maxScore, tr.gLength, tr.nExons,
-                             tuple(map(tuple, tr.exons))))
-        out[b] = (tuple(rows), tuple(msm))
+            w0 = win[0]
+            if tb is None or w0.maxScore > tb.maxScore \
+                    or (w0.maxScore == tb.maxScore
+                        and w0.gLength < tb.gLength):
+                tb = w0
+        if tb is None or tb.maxScore == 0:
+            out[b] = ("EMPTY", tuple(msm))
+            continue
+        if not over:
+            prox = [t for win in win_list for t in win
+                    if t.maxScore + rng >= tb.maxScore]
+            n_tr = len(prox)
+        if over or n_tr > nmax:
+            out[b] = ("OVER", tb.maxScore, tb.gLength, tb.nMM, tb.nMatch,
+                      tb.mappedLength, tuple(map(tuple, tb.exons)))
+        else:
+            rows = tuple((t.maxScore, t.gLength, t.nExons,
+                          tuple(map(tuple, t.exons))) for t in prox)
+            out[b] = ("OK", rows, tuple(msm))
     return out, fallback.copy()
 
 
@@ -77,7 +102,7 @@ def main():
                                       d["nmm_max"], lazy=True)
         if do_prof:
             pr.disable()
-        all_sums.append(summarize(results, fb))
+        all_sums.append(summarize(results, fb, P))
     dt = time.time() - t0
     print(f"{n_reads} reads in {dt:.2f}s = {n_reads/dt:.0f} reads/s "
           f"(stitch only)")
