@@ -285,4 +285,35 @@ int64_t sa_insert_ranks(const int8_t *t2, int64_t n, const int64_t *old_sa,
     return n_new;
 }
 
+// variant that adjusts OLD rows on the fly (old positions >= thresh shift
+// by `shift` into new-text coordinates), so the caller never materializes
+// an adjusted copy of a (possibly disk-backed) mammal-scale SA
+int64_t sa_insert_ranks_shift(const int8_t *t2, int64_t n,
+                              const int64_t *old_sa, int64_t n_old,
+                              int64_t thresh, int64_t shift,
+                              int64_t *new_pos, int64_t n_new,
+                              int64_t *out_ranks, int n_threads) {
+    gT2 = reinterpret_cast<const uint8_t *>(t2);
+    gN = n;
+#ifdef _OPENMP
+    if (n_threads > 0) omp_set_num_threads(n_threads);
+#endif
+    std::sort(new_pos, new_pos + n_new, suffix_less);
+    struct Cmp {
+        int64_t thresh, shift;
+        bool operator()(int64_t old_raw, int64_t np_) const {
+            int64_t a = old_raw >= thresh ? old_raw + shift : old_raw;
+            return suffix_less(a, np_);
+        }
+    } cmp{thresh, shift};
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t i = 0; i < n_new; i++) {
+        out_ranks[i] = std::lower_bound(old_sa, old_sa + n_old, new_pos[i],
+                                        cmp) - old_sa;
+    }
+    return n_new;
+}
+
 }  // extern "C"

@@ -57,6 +57,13 @@ def _load():
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int]
+        lib.sa_insert_ranks_shift.restype = ctypes.c_int64
+        lib.sa_insert_ranks_shift.argtypes = [
+            ctypes.POINTER(ctypes.c_int8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int]
         _lib = lib
     except OSError:
         # corrupt/incompatible object: remove it so the next run rebuilds
@@ -132,33 +139,59 @@ def sort_suffixes_chunked(t2: np.ndarray, out_path: str,
     return np.memmap(out_path, dtype=np.int64, mode="r", shape=(m,))
 
 
-def sa_insert_positions(t2_new: np.ndarray, old_sa_adjusted: np.ndarray,
-                        new_positions: np.ndarray, n_threads: int = 0):
+def sa_insert_positions(t2_new: np.ndarray, old_sa, new_positions: np.ndarray,
+                        thresh: int, shift: int, n_threads: int = 0,
+                        out=None, chunk: int = 1 << 24):
     """merge new suffix positions into an already-sorted SA: sorts the new
     positions and binary-searches each insertion rank over the old rows
-    (reference sjdbBuildIndex.cpp:52-88), then rank-merges.  Returns the
-    merged SA or None if the native library is unavailable."""
+    (reference sjdbBuildIndex.cpp:52-88), then rank-merges in streamed
+    chunks.  Old rows >= `thresh` are shifted by `shift` into new-text
+    coordinates inside the native comparator and during the merge, so the
+    (possibly disk-backed) old SA is never copied whole.  `out` may be a
+    preallocated array/memmap of len(old)+len(new).  Returns the merged SA
+    or None if the native library is unavailable."""
     lib = _load()
     if lib is None:
         return None
     t2p = np.concatenate([t2_new.astype(np.int8),
                           np.full(16, 5, dtype=np.int8)])
-    old = np.ascontiguousarray(old_sa_adjusted, dtype=np.int64)
+    if not (isinstance(old_sa, np.memmap)) :
+        old_sa = np.ascontiguousarray(old_sa, dtype=np.int64)
     new = np.ascontiguousarray(new_positions, dtype=np.int64).copy()
     ranks = np.empty(len(new), dtype=np.int64)
-    lib.sa_insert_ranks(
+    lib.sa_insert_ranks_shift(
         t2p.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
         ctypes.c_int64(len(t2_new)),
-        old.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        ctypes.c_int64(len(old)),
+        np.asarray(old_sa).ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(len(old_sa)),
+        ctypes.c_int64(thresh), ctypes.c_int64(shift),
         new.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         ctypes.c_int64(len(new)),
         ranks.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         ctypes.c_int(n_threads))
-    out = np.empty(len(old) + len(new), dtype=np.int64)
-    new_final = ranks + np.arange(len(new), dtype=np.int64)
-    out[new_final] = new
-    mask = np.ones(len(out), dtype=bool)
-    mask[new_final] = False
-    out[mask] = old
+    n_old = len(old_sa)
+    n_new = len(new)
+    if out is None:
+        out = np.empty(n_old + n_new, dtype=np.int64)
+    # streamed rank merge: old rows [i0, i1) land at out positions
+    # i + count(ranks <= i); the new rows with ranks in [i0, i1) interleave
+    for i0 in range(0, max(n_old, 1), chunk):
+        i1 = min(i0 + chunk, n_old)
+        r0 = np.searchsorted(ranks, i0, "left")
+        r1 = np.searchsorted(ranks, i1, "left")
+        oc = np.asarray(old_sa[i0:i1], dtype=np.int64)
+        oc = np.where(oc >= thresh, oc + shift, oc)
+        # positions of old rows within the out segment [i0+r0, i1+r1)
+        cnt = np.searchsorted(ranks[r0:r1], np.arange(i0, i1), "right")
+        seg = np.empty((i1 - i0) + (r1 - r0), dtype=np.int64)
+        seg[np.arange(i1 - i0) + cnt] = oc
+        if r1 > r0:
+            # new row j's final position is ranks[j] + j; local to the
+            # segment base i0 + r0 that is (ranks[j] - i0) + (j - r0)
+            seg[(ranks[r0:r1] - i0) + np.arange(r1 - r0)] = new[r0:r1]
+        out[i0 + r0:i1 + r1] = seg
+    # new rows ranked past the end of the old SA
+    r_end = np.searchsorted(ranks, n_old, "left")
+    if r_end < n_new:
+        out[n_old + r_end:] = new[r_end:]
     return out

@@ -192,12 +192,16 @@ def _insert_or_rebuild_sa(gi, t2_new, n_real):
     n1 = len(t2_new) // 2
     if (n0 == n_real and not flush and len(gi.sa) and n1 > n0):
         l_sj = n1 - n0
-        old = np.asarray(gi.sa, dtype=np.int64)
-        old_adj = np.where(old >= n0, old + 2 * l_sj, old)
         # new suffixes: forward sj region [n0, n1) + revcomp(sj) [n1, n1+L)
         cand = np.concatenate([np.arange(n0, n1), np.arange(n1, n1 + l_sj)])
         cand = cand[t2_new[cand] < 4]
-        sa = sa_insert_positions(t2_new, old_adj, cand)
+        # the old SA is consumed as-is (memmap-safe): positions >= n0 are
+        # shifted into new-text coordinates inside the native comparator
+        # and during the streamed rank merge
+        old = gi.sa if isinstance(gi.sa, np.memmap) \
+            else np.ascontiguousarray(gi.sa, dtype=np.int64)
+        sa = sa_insert_positions(t2_new, old, cand, thresh=n0,
+                                 shift=2 * l_sj)
         if sa is not None:
             return sa
     return sort_suffixes(t2_new)

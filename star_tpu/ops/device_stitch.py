@@ -1309,6 +1309,8 @@ def grow_chains_device(gi, P, st, ws, RS, nmm_max_read, Lpad,
     from .batch_engine import FB_STATS, LaneState, _empty_lanes, _lanes_take
 
     B = ws.n_reads
+    # read-count shape bucket (fb/over arrays are jit-shaped by B)
+    B_b = 1 << max(14, (max(B, 1) - 1).bit_length())
     NPr = len(st.pb)
     live_pair = (st.wa_n > 0) & ~st.fallback[st.pb]
     if not live_pair.any():
@@ -1398,7 +1400,7 @@ def grow_chains_device(gi, P, st, ws, RS, nmm_max_read, Lpad,
     parts = []
     for (a, b_) in groups:
         parts.append(_run_group(
-            gi, P, st, cfg, rows, pm, wan, pidx, a, b_, B, lmax, ntab,
+            gi, P, st, cfg, rows, pm, wan, pidx, a, b_, B_b, lmax, ntab,
             Gf, rs_dev, ft_dev, ct_dev, sjt, s_max, pm2=pm2, fc=fc,
             lread=lread, classify_ok=classify_ok))
     from .batch_engine import _lanes_concat
@@ -1426,16 +1428,21 @@ def _run_group(gi, P, st, cfg, rows, pm, wan, pidx, a, b_, B, lmax, ntab,
     pm_g[:, 0] -= lo_w
     wan_g = wan[a:b_]
 
-    NP_b = _round_up(NPg, 4096)
-    NW_b = _round_up(len(rows_g), 8192)
+    # power-of-two shape ladders: every quantity that is a jit shape
+    # parameter snaps to a coarse ladder so the warm run compiles the same
+    # executables the timed run uses (a fresh remote compile mid-run costs
+    # minutes)
+    pot = lambda n, lo: 1 << max(lo, (max(int(n), 1) - 1).bit_length())
+    NP_b = pot(NPg, 13)
+    NW_b = pot(len(rows_g), 14)
     pm_p = np.zeros((NP_b, 8), np.int32)
     pm_p[:NPg] = pm_g
     rows_p = np.zeros((NW_b, 8), np.int32)
     rows_p[:len(rows_g)] = rows_g
     guess = NPg * 8 + (3 if s_max <= 16 else 2) * len(rows_g)
     HARD = 1 << 20
-    LMAX = _round_up(min(max(guess, 1 << 15), HARD), 1 << 15)
-    A_CAP = min(_round_up(max(NPg, 1 << 14), 1 << 14), 1 << 17)
+    LMAX = min(pot(max(guess, 1 << 17), 17), HARD)
+    A_CAP = min(pot(NPg, 14), 1 << 17)
 
     while True:
         key = (cfg, LMAX, A_CAP, NP_b, B, lmax, int(gi.n_genome), ntab,
@@ -1445,11 +1452,18 @@ def _run_group(gi, P, st, cfg, rows, pm, wan, pidx, a, b_, B, lmax, ntab,
             eng = make_grow_engine(cfg, LMAX, A_CAP, NP_b, B, lmax,
                                    int(gi.n_genome), ntab, int(gi.sjdb_n))
             _ENGINE_CACHE[key] = eng
-        out = eng(Gf, rs_dev, jax.device_put(rows_p.reshape(-1)),
-                  jax.device_put(pm_p), ft_dev, ct_dev, *sjt,
-                  jax.device_put(st.fallback.astype(np.int32)),
-                  np.int32(int(wan_g.max())))
-        SCAL, EXB, SJB, n_lanes, fb, cnt, overflow, n_iter = out
+        from .pipeline import _tick
+        fb0 = np.zeros(B, np.int32)
+        fb0[:len(st.fallback)] = st.fallback
+        with _tick("dev_upload"):
+            rows_dev = jax.device_put(rows_p.reshape(-1))
+            pm_dev0 = jax.device_put(pm_p)
+            fb_dev = jax.device_put(fb0)
+        with _tick("dev_grow"):
+            out = eng(Gf, rs_dev, rows_dev, pm_dev0, ft_dev, ct_dev, *sjt,
+                      fb_dev, np.int32(int(wan_g.max())))
+            SCAL, EXB, SJB, n_lanes, fb, cnt, overflow, n_iter = out
+            overflow.block_until_ready()
         if int(overflow) == 0:
             break
         FB_STATS['dev_retry_capacity'] += 1
@@ -1475,7 +1489,7 @@ def _run_group(gi, P, st, cfg, rows, pm, wan, pidx, a, b_, B, lmax, ntab,
             raise MemoryError("device stitch frontier exceeded hard cap")
         LMAX = min(LMAX * 2, HARD)
 
-    fb_new = np.asarray(fb).astype(bool)
+    fb_new = np.asarray(fb).astype(bool)[:len(st.fallback)]
     newly = fb_new & ~st.fallback
     if newly.any():
         FB_STATS['chain_cap'] += int(newly.sum())
@@ -1493,10 +1507,13 @@ def _run_group(gi, P, st, cfg, rows, pm, wan, pidx, a, b_, B, lmax, ntab,
             _ENGINE_CACHE[fkey] = feng
         pm2_p = np.zeros((NP_b, 8), np.int32)
         pm2_p[:NPg] = pm2[a:b_]
-        pm_dev = jax.device_put(pm_p)
-        SCAL, EXB, accept_d, pe_d = feng(
-            SCAL, EXB, SJB, n_lanes, fb, jax.device_put(pm2_p), Gf, rs_dev,
-            ft_dev, ct_dev)
+        from .pipeline import _tick
+        pm_dev = pm_dev0
+        with _tick("dev_finalize"):
+            SCAL, EXB, accept_d, pe_d = feng(
+                SCAL, EXB, SJB, n_lanes, fb, jax.device_put(pm2_p), Gf,
+                rs_dev, ft_dev, ct_dev)
+            accept_d.block_until_ready()
         n_l = int(n_lanes)
         # over-limit classification + selective download (SE lazy configs;
         # the PE keep-fix happens host-side AFTER tb selection, so PE runs
@@ -1514,9 +1531,12 @@ def _run_group(gi, P, st, cfg, rows, pm, wan, pidx, a, b_, B, lmax, ntab,
                     LTOT_, NP_b, B, int(P.outFilterMultimapScoreRange),
                     int(P.outFilterMultimapNmax), 0)
                 _ENGINE_CACHE[skey] = seng
-            dlm_d, over_d, n_dl_d = seng(SCAL, EXB, n_lanes, fb, pm_dev)
-            dlm = np.asarray(dlm_d[:n_l])
-            over_h = np.asarray(over_d).astype(bool)
+            with _tick("dev_select"):
+                dlm_d, over_d, n_dl_d = seng(SCAL, EXB, n_lanes, fb, pm_dev)
+                n_dl_d.block_until_ready()
+            with _tick("dev_download"):
+                dlm = np.asarray(dlm_d[:n_l])
+            over_h = np.asarray(over_d).astype(bool)[:len(st.fallback)]
             idx = np.nonzero(dlm)[0].astype(np.int32)
             DL_CAP = _round_up(len(idx), 1 << 13)
             pkey = ("pack", SCAL.shape[0], DL_CAP)
@@ -1526,10 +1546,12 @@ def _run_group(gi, P, st, cfg, rows, pm, wan, pidx, a, b_, B, lmax, ntab,
                 _ENGINE_CACHE[pkey] = peng
             idx_p = np.full(DL_CAP, max(int(n_l) - 1, 0), np.int32)
             idx_p[:len(idx)] = idx
-            sc_d, ex_d, sj_d = peng(SCAL, EXB, SJB, jax.device_put(idx_p))
-            SCALh = np.asarray(sc_d)[:len(idx)]
-            EXh = np.asarray(ex_d)[:len(idx)]
-            SJh = np.asarray(sj_d)[:len(idx)]
+            with _tick("dev_download"):
+                sc_d, ex_d, sj_d = peng(SCAL, EXB, SJB,
+                                        jax.device_put(idx_p))
+                SCALh = np.asarray(sc_d)[:len(idx)]
+                EXh = np.asarray(ex_d)[:len(idx)]
+                SJh = np.asarray(sj_d)[:len(idx)]
             res = lanes_from_blocks(
                 SCALh, EXh, SJh, pidx[a:b_], st, s_max,
                 accept=np.ones(len(idx), bool),
@@ -1540,9 +1562,11 @@ def _run_group(gi, P, st, cfg, rows, pm, wan, pidx, a, b_, B, lmax, ntab,
 
     n_lanes = int(n_lanes)
     # ---- download the completed frontier and select/sort on host
-    SCALh = np.asarray(SCAL[:n_lanes])
-    EXh = np.asarray(EXB[:n_lanes])
-    SJh = np.asarray(SJB[:n_lanes])
+    from .pipeline import _tick
+    with _tick("dev_download"):
+        SCALh = np.asarray(SCAL[:n_lanes])
+        EXh = np.asarray(EXB[:n_lanes])
+        SJh = np.asarray(SJB[:n_lanes])
     res = lanes_from_blocks(SCALh, EXh, SJh, pidx[a:b_], st, s_max,
                             accept=accept_h, pe=pe_h, P=P, lread=lread)
     if accept_h is not None:
