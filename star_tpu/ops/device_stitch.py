@@ -43,6 +43,13 @@ E = MAX_N_EXONS
 RPT = 256
 PAD_BASE = 255
 NEG = -(1 << 30)
+FRONT_PAD = 1024     # tables are front-padded so fetch offsets never clamp
+
+
+def _prep_table(raw_bytes: np.ndarray) -> np.ndarray:
+    from .fetch import pad_table
+    b = np.ascontiguousarray(raw_bytes).view(np.int8).ravel()
+    return pad_table(np.concatenate([np.zeros(FRONT_PAD, np.int8), b]))
 
 # ---- SCAL block column layout (per-lane scalars, int32)
 (C_MASK_LO, C_MASK_HI, C_PROW, C_NEX, C_NMM, C_NMATCH, C_NGAP, C_LGAP,
@@ -131,30 +138,111 @@ def mm_cap_tables(p_mm: float, tl_max: int):
 # device-side helpers (traced)
 # --------------------------------------------------------------------------
 
+def _barrier(x):
+    # keep window gathers as standalone bulk-gather ops: fused into their
+    # elementwise consumers XLA executes them one element at a time
+    # (profiled ~100x slower than the materialized gather)
+    import jax
+    return jax.lax.optimization_barrier(x)
+
+
+# --------------------------------------------------------------------------
+# fetch-based window layer: XLA lowers arbitrary [A, W] byte gathers to
+# ~25 ns/ELEMENT loops (profiled; the dominant cost of the first engine),
+# while one aligned pallas DMA moves a whole 2 KB row in ~165 ns.  Each lane
+# fetches its read row and the two genome regions ONCE per chunk; every
+# window is then cut out with barrel shifts.
+# --------------------------------------------------------------------------
+
+def _shift_cut(x, r, width, jnp):
+    """x [A, W0] uint8 -> out[:, k] = x[:, r_i + k] (k < width), r_i < 2048.
+    Columns past W0 wrap in zeros; callers mask by position afterwards."""
+    A, W0 = x.shape
+    xx = x
+    for b in range(11):
+        s = 1 << b
+        if s >= W0:
+            break
+        shifted = jnp.concatenate(
+            [xx[:, s:], jnp.zeros((A, s), x.dtype)], axis=1)
+        xx = jnp.where((r[:, None] & s) != 0, shifted, xx)
+    return xx[:, :width]
+
+
+def _fetch_region(tabf, byte_off, span, jnp, use_pallas):
+    """fetch + align a [A, span] uint8 region starting at logical byte_off
+    of a _prep_table'd table (front pad absorbs offsets down to -FRONT_PAD,
+    so the position<->column mapping is always exact).  span <= 1024."""
+    import jax
+    from .fetch import TILE, fetch_rows
+    off = jnp.maximum(byte_off + FRONT_PAD, 0)
+    rows = fetch_rows(tabf, off, use_pallas=use_pallas)
+    rows = jax.lax.bitcast_convert_type(rows, jnp.uint8)
+    return _shift_cut(rows, off % TILE, span, jnp)
+
+
+def _gcut(region, col0, width, g0, n_g, g_first, g_last, jnp):
+    """cut [A, width] from a genome region whose column c maps to genome
+    position g0 + c; replicate numpy clip semantics at the table edges.
+    col0 may be per-lane dynamic (int32 array) or a static int."""
+    if isinstance(col0, int):
+        w = region[:, col0:col0 + width].astype(jnp.int32)
+        pos = g0[:, None] + col0 + jnp.arange(width, dtype=jnp.int32)[None, :]
+    else:
+        w = _shift_cut(region, col0, width, jnp).astype(jnp.int32)
+        pos = (g0 + col0)[:, None] + jnp.arange(width, dtype=jnp.int32)[None, :]
+    w = jnp.where(pos < 0, g_first, w)
+    w = jnp.where(pos >= n_g, g_last, w)
+    return w
+
+
+def _rcut(region, col0, width, r0, lmax, jnp):
+    """cut [A, width] from a read region whose column c maps to read
+    position r0 + c; PAD_BASE outside [0, lmax) (numpy _rwin semantics)."""
+    if isinstance(col0, int):
+        w = region[:, col0:col0 + width].astype(jnp.int32)
+        pos = r0[:, None] + col0 + jnp.arange(width, dtype=jnp.int32)[None, :]
+    else:
+        w = _shift_cut(region, col0, width, jnp).astype(jnp.int32)
+        pos = (r0 + col0)[:, None] + jnp.arange(width, dtype=jnp.int32)[None, :]
+    return jnp.where((pos < 0) | (pos >= lmax), PAD_BASE, w)
+
+
 def _win(flat, base, W, jnp):
     idx = base[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
-    return jnp.take(flat, idx, mode="clip")
+    return _barrier(jnp.take(flat, idx, mode="clip"))
 
 
 def _win_rev(flat, base, W, jnp):
     """flat[base - k] for k in 0..W-1 (descending windows, clip)"""
     idx = base[:, None] - jnp.arange(W, dtype=jnp.int32)[None, :]
-    return jnp.take(flat, idx, mode="clip")
+    return _barrier(jnp.take(flat, idx, mode="clip"))
 
 
 def _rwin_dev(RSf, lmax, row, base, W, jnp):
-    """read window with PAD_BASE outside [0, lmax) (numpy _rwin semantics)"""
+    """read window with PAD_BASE outside [0, lmax) (numpy _rwin semantics);
+    RSf is a _prep_table'd flat read matrix"""
     k = jnp.arange(W, dtype=jnp.int32)[None, :]
     idx = base[:, None] + k
-    v = jnp.take(RSf, row[:, None] * lmax + idx, mode="clip")
-    return jnp.where((idx < 0) | (idx >= lmax), jnp.uint8(PAD_BASE),
-                     v).astype(jnp.int32)
+    v = _barrier(jnp.take(RSf, row[:, None] * lmax + idx + FRONT_PAD,
+                          mode="clip"))
+    return jnp.where((idx < 0) | (idx >= lmax), jnp.int32(PAD_BASE),
+                     v.astype(jnp.int32) & 0xFF)
+
+
+def _gwin_clip(Gf, n_g, idx, jnp):
+    """G[clip(idx, 0, n-1)] for an arbitrary [A, W] index matrix (CPU
+    backend layer; on TPU this pattern is replaced by region cuts)"""
+    return jnp.take(Gf, jnp.clip(idx, 0, n_g - 1) + FRONT_PAD
+                    ).astype(jnp.int32)
 
 
 def _gwin_dev(Gf, n_g, base, W, jnp):
-    """genome window with numpy clip semantics (G[clip(idx, 0, n-1)])"""
+    """genome window with numpy clip semantics (G[clip(idx, 0, n-1)]);
+    Gf is a _prep_table'd genome"""
     idx = base[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
-    return jnp.take(Gf, jnp.clip(idx, 0, n_g - 1)).astype(jnp.int32)
+    return _barrier(jnp.take(Gf, jnp.clip(idx, 0, n_g - 1) + FRONT_PAD)
+                    ).astype(jnp.int32)
 
 
 def _first_true(cond, big, jnp):
@@ -209,21 +297,39 @@ def _sjdb_find_dev(sj_s2, sj_e2, sj_idx, jS, jE, jnp):
 # extend (reference extendAlign.cpp:6-92), per-lane to_end + both directions
 # --------------------------------------------------------------------------
 
-def extend_dev(Gf, n_g, RSf, lmax, floor_tab, ceil_tab, ntab, row, r0, g0,
+def extend_dev(Gf, n_g, RSf, lmax, floor16f, ceil_tab, ntab, row, r0, g0,
                dR, dG, L, l_prev, nmm_prev, nmm_max, to_end, Lwin, cfg, jnp):
     """dR/dG: +1/-1 static python ints.  to_end: [A] bool.  Returns
     (ok, extendL, maxScore, nMatch, nMM) int32 arrays.  Mirrors numpy
-    extend_vec with the float caps replaced by exact integer tables."""
+    extend_vec; the float64 mismatch caps are exact u16 tables fetched as
+    per-lane byte regions (an [A, W] table gather runs ~25 ns/element)."""
+    from .fetch import default_use_pallas
+    use_fetch = default_use_pallas()
     A = row.shape[0]
     k = jnp.arange(Lwin, dtype=jnp.int32)[None, :]
     rix = r0[:, None] + dR * k
     gix = g0[:, None] + dG * k
-    Rv = jnp.take(RSf, row[:, None] * lmax + rix, mode="clip").astype(jnp.int32)
-    Rv = jnp.where((rix < 0) | (rix >= lmax), PAD_BASE, Rv)
     gin = (gix >= 0) & (gix < n_g)
-    Gv = jnp.where(gin,
-                   jnp.take(Gf, jnp.clip(gix, 0, n_g - 1)).astype(jnp.int32),
-                   5)
+    if use_fetch:
+        if dR == 1:
+            Rreg = _fetch_region(RSf, row * lmax + r0, Lwin, jnp, True)
+        else:
+            Rreg = jnp.flip(_fetch_region(RSf, row * lmax + r0 - (Lwin - 1),
+                                          Lwin, jnp, True), 1)
+        Rv = jnp.where((rix < 0) | (rix >= lmax), PAD_BASE,
+                       Rreg.astype(jnp.int32))
+        if dG == 1:
+            Greg = _fetch_region(Gf, g0, Lwin, jnp, True)
+        else:
+            Greg = jnp.flip(_fetch_region(Gf, g0 - (Lwin - 1), Lwin, jnp,
+                                          True), 1)
+        Gv = jnp.where(gin, Greg.astype(jnp.int32), 5)
+    else:
+        v = jnp.take(RSf, row[:, None] * lmax + rix + FRONT_PAD,
+                     mode="clip")
+        Rv = jnp.where((rix < 0) | (rix >= lmax), PAD_BASE,
+                       v.astype(jnp.int32) & 0xFF)
+        Gv = jnp.where(gin, _gwin_clip(Gf, n_g, gix, jnp), 5)
     inL = k < L[:, None]
     spac = Rv == 11            # MARK_FRAG_SPACER_BASE
     gbad = ~gin | (Gv == 5)
@@ -260,6 +366,20 @@ def extend_dev(Gf, n_g, RSf, lmax, floor_tab, ceil_tab, ntab, row, r0, g0,
     # cap_brk = min(p_mm*(l_prev+L) [f64], nmm_max); int m >= cap <=> m >= ceil
     tl_brk = jnp.clip(l_prev + L, 0, ntab - 1)
     cap_brk_c = jnp.minimum(jnp.take(ceil_tab, tl_brk), nmm_max)
+    # cap_rec entries come from the u16 floor table
+    tl0 = jnp.clip(l_prev + 1, 0, ntab - 1)
+    if use_fetch:
+        freg = _fetch_region(floor16f, 2 * tl0, 2 * Lwin, jnp, True) \
+            .astype(jnp.int32)
+        floor_win = freg[:, 0::2] | (freg[:, 1::2] << 8)
+    else:
+        i2 = 2 * jnp.clip(tl0[:, None] + k, 0, ntab - 1) + FRONT_PAD
+        b0 = jnp.take(floor16f, i2).astype(jnp.int32) & 0xFF
+        b1 = jnp.take(floor16f, i2 + 1).astype(jnp.int32) & 0xFF
+        floor_win = b0 | (b1 << 8)
+    # entries past the table end never matter (ntab covers every legal
+    # l_prev + k + 1; only masked junk lanes can index past it)
+    over_end = (tl0[:, None] + k) > (ntab - 1)
     p_mmbrk = _first_true(
         mm0 & ((mm_excl + nmm_prev[:, None]) >= cap_brk_c[:, None]),
         1 << 29, jnp)
@@ -270,8 +390,8 @@ def extend_dev(Gf, n_g, RSf, lmax, floor_tab, ceil_tab, ntab, row, r0, g0,
     s = jnp.cumsum((match.astype(jnp.int16) - mm.astype(jnp.int16)),
                    axis=1).astype(jnp.int32)
     # cap_rec = min(p_mm*(l_prev+k+1), nmm_max); int m <= cap <=> m <= floor
-    tl_rec = jnp.clip(l_prev[:, None] + k + 1, 0, ntab - 1)
-    cap_rec_f = jnp.minimum(jnp.take(floor_tab, tl_rec), nmm_max[:, None])
+    cap_rec_f = jnp.minimum(jnp.where(over_end, 65535, floor_win),
+                            nmm_max[:, None])
     mm_before = jnp.cumsum(mm.astype(jnp.int16), axis=1).astype(jnp.int32) \
         - mm.astype(jnp.int32)
     cond = (mm_before + nmm_prev[:, None]) <= cap_rec_f
@@ -302,6 +422,10 @@ def extend_dev(Gf, n_g, RSf, lmax, floor_tab, ceil_tab, ntab, row, r0, g0,
 # (mirrors batch_engine.stitch_step_vec + _stitch_same_frag + the first-exon
 #  branch of grow_chains, masked full-width)
 # --------------------------------------------------------------------------
+
+_ABLATE = frozenset(
+    _os.environ.get("STAR_TPU_ABLATE", "").split(","))
+
 
 def _stitch_chunk(jnp, cfg: StitchConfig, Gf, n_g, RSf, lmax, floor_tab,
                   ceil_tab, ntab, sjdb, sc, ex, sj, seed, s):
@@ -425,7 +549,26 @@ def _stitch_chunk(jnp, cfg: StitchConfig, Gf, n_g, RSf, lmax, floor_tab,
 
     W1 = Lpad + 2
     WSC = 2 * Lpad + 5
+    WI = Lpad + 2
     offk = jnp.arange(WSC, dtype=i32)[None, :] - W1    # off = -W1 .. Lpad+2
+
+    # ---- per-lane window layer: on TPU, fetch three DMA regions per lane
+    # and cut every window out with barrel shifts (XLA [A,W] table gathers
+    # run ~25 ns/element — 50x slower than one aligned 2 KB DMA row);
+    # on CPU backends the plain-gather layer below compiles far smaller
+    from .fetch import default_use_pallas
+    use_fetch = default_use_pallas()
+    GSPAN = 2 * Lpad + 520
+    RSPAN = 3 * Lpad + 12
+    p0r = ra - W1
+    pgd = ga - W1 - 257
+    pga = gb1 - W1 - 257
+    if use_fetch:
+        g_first = Gf[FRONT_PAD].astype(i32)
+        g_last = Gf[FRONT_PAD + n_g - 1].astype(i32)
+        Rreg = _fetch_region(RSf, row * lmax + p0r, RSPAN, jnp, True)
+        Dreg = _fetch_region(Gf, pgd, GSPAN, jnp, True)
+        Areg = _fetch_region(Gf, pga, GSPAN, jnp, True)
 
     # ------------------------- deletion / intron -------------------------
     di = delb
@@ -434,12 +577,18 @@ def _stitch_chunk(jnp, cfg: StitchConfig, Gf, n_g, RSf, lmax, floor_tab,
         rej = rej | rej3
         di = di & ~rej3
     intron = delv >= cfg.intron_min
-    Rv = _rwin_dev(RSf, lmax, row, ra - W1, WSC, jnp)
-    Gd = _gwin_dev(Gf, n_g, ga - W1, WSC, jnp)
-    Ga = _gwin_dev(Gf, n_g, gb1 - W1, WSC, jnp)
+    if use_fetch:
+        Rv = _rcut(Rreg, 0, WSC, p0r, lmax, jnp)
+        Gd = _gcut(Dreg, 257, WSC, pgd, n_g, g_first, g_last, jnp)
+        Ga = _gcut(Areg, 257, WSC, pga, n_g, g_first, g_last, jnp)
+    else:
+        Rv = _rwin_dev(RSf, lmax, row, ra - W1, WSC, jnp)
+        Gd = _gwin_dev(Gf, n_g, ga - W1, WSC, jnp)
+        Ga = _gwin_dev(Gf, n_g, gb1 - W1, WSC, jnp)
     neg = offk <= 0
     dec = (Rv != Ga) & (Ga < 4) & (Rv == Gd) & neg
-    cum_fr = jnp.flip(jnp.cumsum(jnp.flip(dec, 1).astype(jnp.int16), axis=1),
+    _ct = jnp.int32 if "i32cumsum" in _ABLATE else jnp.int16
+    cum_fr = jnp.flip(jnp.cumsum(jnp.flip(dec, 1).astype(_ct), axis=1),
                       1).astype(i32)
     cd = jnp.where(neg, cum_fr, 0)
     fail = neg & ((cd > cfg.stitch_sj_shift)
@@ -450,8 +599,7 @@ def _stitch_chunk(jnp, cfg: StitchConfig, Gf, n_g, RSf, lmax, floor_tab,
     scan = (offk >= jR1s[:, None]) & (offk <= hi_o[:, None])
     up = (Rv == Gd) & (Rv != Ga)
     dn = (Rv != Gd) & (Rv == Ga)
-    contrib = jnp.where(scan, up.astype(jnp.int16) - dn.astype(jnp.int16),
-                        jnp.int16(0))
+    contrib = jnp.where(scan, up.astype(_ct) - dn.astype(_ct), _ct(0))
     score1 = jnp.cumsum(contrib, axis=1).astype(i32)
     d1 = jnp.concatenate([Gd[:, 1:], Gd[:, -1:]], axis=1)
     d2 = jnp.concatenate([Gd[:, 2:], Gd[:, -1:], Gd[:, -1:]], axis=1)
@@ -487,19 +635,37 @@ def _stitch_chunk(jnp, cfg: StitchConfig, Gf, n_g, RSf, lmax, floor_tab,
     jR = jnp.where(di, jR_d, jR)
     j_can = jnp.where(di, can_d, j_can)
     # repeat scans
+    if "norpt" in _ABLATE:
+        jjL_d = jnp.zeros(A, i32)
+        jjR_d = jnp.zeros(A, i32)
     jj = jnp.arange(RPT + 1, dtype=i32)[None, :]
     gd_i = (ga + jR)[:, None] - jj
     ga_i = (gb1 + jR)[:, None] - jj
-    gdv = jnp.take(Gf, jnp.clip(gd_i, 0, n_g - 1)).astype(i32)
-    gav = jnp.take(Gf, jnp.clip(ga_i, 0, n_g - 1)).astype(i32)
-    cl = (gd_i >= 0) & (gdv == gav) & (gdv < 4) & (jj <= 255)
-    jjL_d = jnp.argmax(~cl, axis=1).astype(i32)
+    if "norpt" not in _ABLATE:
+        if use_fetch:
+            # descending windows: ascending cut from the region, then flip
+            gdv = jnp.flip(_gcut(Dreg, jR + W1 + 1, RPT + 1, pgd, n_g,
+                                 g_first, g_last, jnp), 1)
+            gav = jnp.flip(_gcut(Areg, jR + W1 + 1, RPT + 1, pga, n_g,
+                                 g_first, g_last, jnp), 1)
+        else:
+            gdv = _gwin_clip(Gf, n_g, gd_i, jnp)
+            gav = _gwin_clip(Gf, n_g, ga_i, jnp)
+        cl = (gd_i >= 0) & (gdv == gav) & (gdv < 4) & (jj <= 255)
+        jjL_d = jnp.argmax(~cl, axis=1).astype(i32)
     gd_i = (ga + jR + 1)[:, None] + jj
     ga_i = (gb1 + jR + 1)[:, None] + jj
-    gdv = jnp.take(Gf, jnp.clip(gd_i, 0, n_g - 1)).astype(i32)
-    gav = jnp.take(Gf, jnp.clip(ga_i, 0, n_g - 1)).astype(i32)
-    cl = (gd_i < n_g) & (gdv == gav) & (gdv < 4) & (jj <= 255)
-    jjR_d = jnp.argmax(~cl, axis=1).astype(i32)
+    if "norpt" not in _ABLATE:
+        if use_fetch:
+            gdv = _gcut(Dreg, jR + W1 + 258, RPT + 1, pgd, n_g, g_first,
+                        g_last, jnp)
+            gav = _gcut(Areg, jR + W1 + 258, RPT + 1, pga, n_g, g_first,
+                        g_last, jnp)
+        else:
+            gdv = _gwin_clip(Gf, n_g, gd_i, jnp)
+            gav = _gwin_clip(Gf, n_g, ga_i, jnp)
+        cl = (gd_i < n_g) & (gdv == gav) & (gdv < 4) & (jj <= 255)
+        jjR_d = jnp.argmax(~cl, axis=1).astype(i32)
     jjL = jnp.where(di, jjL_d, jjL)
     jjR = jnp.where(di, jjR_d, jjR)
     # flush left
@@ -559,11 +725,15 @@ def _stitch_chunk(jnp, cfg: StitchConfig, Gf, n_g, RSf, lmax, floor_tab,
 
     # ----------------------------- insertion -----------------------------
     ii_b = insb & ~rej
-    WI = Lpad + 2
     offp = jnp.arange(WI, dtype=i32)[None, :]
-    Rvp = _rwin_dev(RSf, lmax, row, ra, WI, jnp)
-    Rv2p = _rwin_dev(RSf, lmax, row, ra + insv, WI, jnp)
-    Gdp = _gwin_dev(Gf, n_g, ga, WI, jnp)
+    if use_fetch:
+        Rvp = _rcut(Rreg, W1, WI, p0r, lmax, jnp)
+        Rv2p = _rcut(Rreg, W1 + jnp.clip(insv, 0, Lpad), WI, p0r, lmax, jnp)
+        Gdp = _gcut(Dreg, 257 + W1, WI, pgd, n_g, g_first, g_last, jnp)
+    else:
+        Rvp = _rwin_dev(RSf, lmax, row, ra, WI, jnp)
+        Rv2p = _rwin_dev(RSf, lmax, row, ra + insv, WI, jnp)
+        Gdp = _gwin_dev(Gf, n_g, ga, WI, jnp)
     inrp = (offp >= 1) & (offp <= g_gap[:, None])
     gok = Gdp < 4
     c1 = jnp.where(inrp & gok,
@@ -595,8 +765,14 @@ def _stitch_chunk(jnp, cfg: StitchConfig, Gf, n_g, RSf, lmax, floor_tab,
     n_mm = jnp.where(ii_b, n_mm + mm_n, n_mm)
     if cfg.ins_flush_right:
         lim = r_b_end - ra - insv
-        Rv3 = _rwin_dev(RSf, lmax, row, ra + jR_i + 1, WI, jnp)
-        Gd3 = _gwin_dev(Gf, n_g, ga + jR_i + 1, WI, jnp)
+        if use_fetch:
+            jRc = jnp.clip(jR_i, 0, Lpad)
+            Rv3 = _rcut(Rreg, W1 + 1 + jRc, WI, p0r, lmax, jnp)
+            Gd3 = _gcut(Dreg, W1 + 258 + jRc, WI, pgd, n_g, g_first,
+                        g_last, jnp)
+        else:
+            Rv3 = _rwin_dev(RSf, lmax, row, ra + jR_i + 1, WI, jnp)
+            Gd3 = _gwin_dev(Gf, n_g, ga + jR_i + 1, WI, jnp)
         failf = (jR_i[:, None] + offp >= lim[:, None]) | (Rv3 != Gd3) \
             | (Gd3 == 4)
         adv = jnp.argmax(failf, axis=1).astype(i32)
@@ -838,11 +1014,14 @@ def make_finalize_engine(fc: FinalCfg, LTOT: int, NP: int, B: int,
         al = (iota < n_lanes) & mask_nz & ~fb_l & (SCAL[:, C_NEX] > 0)
 
         prow = jnp.clip(SCAL[:, C_PROW], 0, NP - 1)
-        lread = jnp.take(pm2[:, 2], prow)
-        cs = jnp.take(pm2[:, 0], prow)
-        ce = jnp.take(pm2[:, 1], prow)
-        lim0 = jnp.take(pm2[:, 3], prow)
-        lim1 = jnp.take(pm2[:, 4], prow)
+        # one affine row-gather instead of five 1-D gathers (the latter
+        # lower to slow elementwise gathers at frontier scale)
+        pmrow = _win(pm2.reshape(-1), prow * 8, 8, jnp)
+        cs = pmrow[:, 0]
+        ce = pmrow[:, 1]
+        lread = pmrow[:, 2]
+        lim0 = pmrow[:, 3]
+        lim1 = pmrow[:, 4]
         wstr = SCAL[:, C_WSTR]
         row = SCAL[:, C_ROW]
         nmm_max = SCAL[:, C_NMMMAX]
@@ -1021,6 +1200,153 @@ def make_finalize_engine(fc: FinalCfg, LTOT: int, NP: int, B: int,
         return SCAL, EXB, keep.astype(i32), pe_host
 
     return jax.jit(fin)
+
+def make_grow_engine2(cfg: StitchConfig, AMAX: int, RMAX: int, A_CAP: int,
+                      NP: int, B: int, lmax: int, n_g: int, ntab: int,
+                      nsj: int):
+    """two-queue grow engine: the ACTIVE lanes live in a contiguous array
+    (chunk selection = static dynamic_slice, no full-frontier nonzero per
+    iteration — jnp.nonzero lowers to a scatter-heavy bincount that
+    dominated v1 at 1M-lane frontiers), and completed chains move to an
+    append-only RETIRED buffer at each step boundary.  Per-chunk work is
+    bounded by A_CAP; per-step compaction by the active count.
+
+    Returns (RET_SCAL [RTOT, NSCAL], RET_EX, RET_SJ, n_ret, fb, cnt,
+             overflow, n_iter)."""
+    import jax
+    import jax.numpy as jnp
+
+    s_max = cfg.s_max
+    ATOT = AMAX + A_CAP       # append slack
+    RTOT = RMAX + AMAX        # retirement-block slack
+
+    def grow(Gf, RSf, wa_flat, pm, floor_tab, ceil_tab,
+             sj_s2, sj_e2, sj_idx, sj_motif, sj_shl, sj_shr, sj_strand,
+             fb_read0, s_hi):
+        i32 = jnp.int32
+        sjdb = (sj_s2, sj_e2, sj_idx, sj_motif, sj_shl, sj_shr, sj_strand)
+
+        A_SC = jnp.zeros((ATOT, NSCAL), i32)
+        A_SC = A_SC.at[:NP, C_PROW].set(jnp.arange(NP, dtype=i32))
+        A_SC = A_SC.at[:NP, C_WAN].set(pm[:, 1])
+        A_SC = A_SC.at[:NP, C_PB].set(pm[:, 2])
+        A_SC = A_SC.at[:NP, C_PW].set(pm[:, 3])
+        A_SC = A_SC.at[:NP, C_WSTR].set(pm[:, 4])
+        A_SC = A_SC.at[:NP, C_ROW].set(pm[:, 5])
+        A_SC = A_SC.at[:NP, C_NMMMAX].set(pm[:, 6])
+        A_EX = jnp.zeros((ATOT, NEXB), i32)
+        sel_sja = (jnp.arange(NEXB, dtype=i32) % 5) == EX_SJA
+        A_EX = jnp.where(sel_sja[None, :], -1, A_EX)
+        A_SJ = jnp.zeros((ATOT, NSJB), i32)
+        R_SC = jnp.zeros((RTOT, NSCAL), i32)
+        R_EX = jnp.zeros((RTOT, NEXB), i32)
+        R_SJ = jnp.zeros((RTOT, NSJB), i32)
+
+        n_act = jnp.int32(NP)     # lanes valid for the CURRENT step
+        n_app = jnp.int32(NP)     # total incl. this step's appends
+        n_ret = jnp.int32(0)
+        cnt = jnp.where(pm[:, 1] > 0, 1, 0).astype(i32)
+        fb = fb_read0.astype(i32)
+        s = jnp.int32(0)
+        c = jnp.int32(0)
+        overflow = jnp.int32(0)
+        it = jnp.int32(0)
+        IT_MAX = s_max * (ATOT // A_CAP + 3) + 8
+
+        def cond(st):
+            (A, R, n_act, n_app, n_ret, cnt, fb, s, c, overflow, it) = st
+            return (s < s_hi) & (n_act > 0) & (overflow == 0) & (it < IT_MAX)
+
+        def chunk_body(st):
+            (A, R, n_act, n_app, n_ret, cnt, fb, s, c, overflow, it) = st
+            A_SC, A_EX, A_SJ = A
+            base = c * A_CAP
+            sc = jax.lax.dynamic_slice(A_SC, (base, 0), (A_CAP, NSCAL))
+            ex = jax.lax.dynamic_slice(A_EX, (base, 0), (A_CAP, NEXB))
+            sj = jax.lax.dynamic_slice(A_SJ, (base, 0), (A_CAP, NSJB))
+            live = jnp.arange(A_CAP, dtype=i32) < (n_act - base)
+            prow = jnp.clip(sc[:, C_PROW], 0, NP - 1)
+            fb_l = jnp.take(fb, jnp.clip(sc[:, C_PB], 0, B - 1)) > 0
+            # the initial frontier holds one lane per (possibly padded or
+            # already-exhausted) pair; only pairs with seed s may stitch
+            act = live & ~fb_l & (s < sc[:, C_WAN])
+            waoff = jnp.take(pm[:, 0], prow)
+            seed = _win(wa_flat, (waoff + s) * 8, 8, jnp)
+            sc2, ex2, sj2, ok = _stitch_chunk(
+                jnp, cfg, Gf, n_g, RSf, lmax, floor_tab, ceil_tab, ntab,
+                sjdb, sc, ex, sj, seed, s)
+            ok = ok & act
+            n_new = ok.sum().astype(i32)
+            aidx = jnp.nonzero(ok, size=A_CAP, fill_value=A_CAP - 1)[0] \
+                .astype(i32)
+            new_live = jnp.arange(A_CAP, dtype=i32) < n_new
+            sc_n = _win(sc2.reshape(-1), aidx * NSCAL, NSCAL, jnp)
+            ex_n = _win(ex2.reshape(-1), aidx * NEXB, NEXB, jnp)
+            sj_n = _win(sj2.reshape(-1), aidx * NSJB, NSJB, jnp)
+            A_SC = jax.lax.dynamic_update_slice(A_SC, sc_n, (n_app, 0))
+            A_EX = jax.lax.dynamic_update_slice(A_EX, ex_n, (n_app, 0))
+            A_SJ = jax.lax.dynamic_update_slice(A_SJ, sj_n, (n_app, 0))
+            n_app = n_app + n_new
+            overflow = jnp.where(n_app > AMAX, 1, overflow)
+            prow_n = jnp.where(new_live, sc_n[:, C_PROW], NP)
+            cnt = cnt.at[jnp.clip(prow_n, 0, NP - 1)].add(
+                jnp.where(new_live, 1, 0))
+            over_p = cnt > cfg.chain_cap
+            fb = fb.at[jnp.clip(pm[:, 2], 0, B - 1)].max(
+                jnp.where(over_p, 1, 0))
+            return ((A_SC, A_EX, A_SJ), R, n_act, n_app, n_ret, cnt, fb,
+                    s, c + 1, overflow, it)
+
+        def step_end(st):
+            (A, R, n_act, n_app, n_ret, cnt, fb, s, c, overflow, it) = st
+            A_SC, A_EX, A_SJ = A
+            R_SC, R_EX, R_SJ = R
+            iota = jnp.arange(ATOT, dtype=i32)
+            valid = iota < n_app
+            fb_l = jnp.take(fb, jnp.clip(A_SC[:, C_PB], 0, B - 1)) > 0
+            keep = valid & ~fb_l & (A_SC[:, C_WAN] > s + 1)
+            mask_nz = (A_SC[:, C_MASK_LO] != 0) | (A_SC[:, C_MASK_HI] != 0)
+            ret = valid & ~fb_l & ~(A_SC[:, C_WAN] > s + 1) & mask_nz
+            n_keep = keep.sum().astype(i32)
+            kidx = jnp.nonzero(keep, size=ATOT, fill_value=ATOT - 1)[0] \
+                .astype(i32)
+            A_SC = _win(A_SC.reshape(-1), kidx * NSCAL, NSCAL, jnp)
+            A_EX = _win(A_EX.reshape(-1), kidx * NEXB, NEXB, jnp)
+            A_SJ = _win(A_SJ.reshape(-1), kidx * NSJB, NSJB, jnp)
+            n_r = ret.sum().astype(i32)
+            ridx = jnp.nonzero(ret, size=AMAX, fill_value=ATOT - 1)[0] \
+                .astype(i32)
+            # gathers read the PRE-compaction blocks; recompute from the
+            # original arrays via the flat views captured above
+            sc_r = _win(st[0][0].reshape(-1), ridx * NSCAL, NSCAL, jnp)
+            ex_r = _win(st[0][1].reshape(-1), ridx * NEXB, NEXB, jnp)
+            sj_r = _win(st[0][2].reshape(-1), ridx * NSJB, NSJB, jnp)
+            R_SC = jax.lax.dynamic_update_slice(R_SC, sc_r, (n_ret, 0))
+            R_EX = jax.lax.dynamic_update_slice(R_EX, ex_r, (n_ret, 0))
+            R_SJ = jax.lax.dynamic_update_slice(R_SJ, sj_r, (n_ret, 0))
+            n_ret = n_ret + n_r
+            overflow = jnp.where(n_ret > RMAX, 1, overflow)
+            return ((A_SC, A_EX, A_SJ), (R_SC, R_EX, R_SJ), n_keep, n_keep,
+                    n_ret, cnt, fb, s + 1, jnp.int32(0), overflow, it)
+
+        def body(st):
+            st = chunk_body(st)
+            (A, R, n_act, n_app, n_ret, cnt, fb, s, c, overflow, it) = st
+            done_step = c * A_CAP >= n_act
+            st = jax.lax.cond(done_step, step_end, lambda x: x, st)
+            (A, R, n_act, n_app, n_ret, cnt, fb, s, c, overflow, it) = st
+            return (A, R, n_act, n_app, n_ret, cnt, fb, s, c, overflow,
+                    it + 1)
+
+        st = ((A_SC, A_EX, A_SJ), (R_SC, R_EX, R_SJ), n_act, n_app, n_ret,
+              cnt, fb, s, c, overflow, it)
+        st = jax.lax.while_loop(cond, body, st)
+        (A, R, n_act, n_app, n_ret, cnt, fb, s, c, overflow, it) = st
+        R_SC, R_EX, R_SJ = R
+        return R_SC, R_EX, R_SJ, n_ret, fb, cnt, overflow, it
+
+    return jax.jit(grow)
+
 
 def make_grow_engine(cfg: StitchConfig, LMAX: int, A_CAP: int, NP: int,
                      B: int, lmax: int, n_g: int, ntab: int, nsj: int):
@@ -1275,7 +1601,7 @@ def device_tables(gi):
     ent = _TABLE_CACHE.get(key)
     if ent is None:
         G = gi.G if gi.G.dtype == np.int8 else gi.G.view(np.int8)
-        Gf = jax.device_put(np.ascontiguousarray(G))
+        Gf = jax.device_put(_prep_table(G))
         if gi.sjdb_n > 0:
             n = gi.sjdb_n
             order = np.lexsort((np.arange(n), gi.sjdb_end[:n],
@@ -1375,8 +1701,11 @@ def grow_chains_device(gi, P, st, ws, RS, nmm_max_read, Lpad,
     Gf, sjt = device_tables(gi)
     lmax = RS.shape[1]
     if rs_dev is None:
-        rs_dev = jax.device_put(np.ascontiguousarray(RS.reshape(-1)))
-    ft_dev = jax.device_put(floor_tab)
+        rs_dev = jax.device_put(_prep_table(RS.reshape(-1)))
+    # the 2-D mismatch-cap lookups read the floor table as little-endian
+    # u16 byte regions (see extend_dev)
+    f16 = np.minimum(floor_tab, 65535).astype("<u2")
+    ft_dev = jax.device_put(_prep_table(f16))
     ct_dev = jax.device_put(ceil_tab)
 
     # ---- partition pairs into read-aligned groups bounded by seed budget
@@ -1439,18 +1768,20 @@ def _run_group(gi, P, st, cfg, rows, pm, wan, pidx, a, b_, B, lmax, ntab,
     pm_p[:NPg] = pm_g
     rows_p = np.zeros((NW_b, 8), np.int32)
     rows_p[:len(rows_g)] = rows_g
-    guess = NPg * 8 + (3 if s_max <= 16 else 2) * len(rows_g)
-    HARD = 1 << 20
-    LMAX = min(pot(max(guess, 1 << 17), 17), HARD)
+    # active-queue / retired-buffer capacities (see make_grow_engine2)
+    A_HARD = 1 << 19
+    R_HARD = 1 << 21
+    AMAX = min(pot(max(2 * NPg + len(rows_g) // 2, 1 << 16), 16), A_HARD)
+    RMAX = min(pot(max(NPg + 2 * len(rows_g), 1 << 17), 17), R_HARD)
     A_CAP = min(pot(NPg, 14), 1 << 17)
 
     while True:
-        key = (cfg, LMAX, A_CAP, NP_b, B, lmax, int(gi.n_genome), ntab,
-               int(gi.sjdb_n))
+        key = (cfg, AMAX, RMAX, A_CAP, NP_b, B, lmax, int(gi.n_genome),
+               ntab, int(gi.sjdb_n))
         eng = _ENGINE_CACHE.get(key)
         if eng is None:
-            eng = make_grow_engine(cfg, LMAX, A_CAP, NP_b, B, lmax,
-                                   int(gi.n_genome), ntab, int(gi.sjdb_n))
+            eng = make_grow_engine2(cfg, AMAX, RMAX, A_CAP, NP_b, B, lmax,
+                                    int(gi.n_genome), ntab, int(gi.sjdb_n))
             _ENGINE_CACHE[key] = eng
         from .pipeline import _tick
         fb0 = np.zeros(B, np.int32)
@@ -1467,7 +1798,10 @@ def _run_group(gi, P, st, cfg, rows, pm, wan, pidx, a, b_, B, lmax, ntab,
         if int(overflow) == 0:
             break
         FB_STATS['dev_retry_capacity'] += 1
-        if LMAX >= HARD:
+        at_cap = AMAX >= A_HARD and RMAX >= R_HARD
+        AMAX = min(AMAX * 2, A_HARD)
+        RMAX = min(RMAX * 2, R_HARD)
+        if at_cap:
             if NPg > 1:
                 mid = a + NPg // 2
                 # split on a read boundary
@@ -1487,7 +1821,6 @@ def _run_group(gi, P, st, cfg, rows, pm, wan, pidx, a, b_, B, lmax, ntab,
                     else (o1 if o1 is not None else o2)
                 return _lanes_concat(l1, l2), acc, ov
             raise MemoryError("device stitch frontier exceeded hard cap")
-        LMAX = min(LMAX * 2, HARD)
 
     fb_new = np.asarray(fb).astype(bool)[:len(st.fallback)]
     newly = fb_new & ~st.fallback
