@@ -174,8 +174,10 @@ def _fetch_region(tabf, byte_off, span, jnp, use_pallas):
     of a _prep_table'd table (front pad absorbs offsets down to -FRONT_PAD,
     so the position<->column mapping is always exact).  span <= 1024."""
     import jax
-    from .fetch import TILE, fetch_rows
-    off = jnp.maximum(byte_off + FRONT_PAD, 0)
+    from .fetch import FET, TILE, fetch_rows
+    # clamp into the DMA-safe range: junk lanes (slice padding, dead rows)
+    # carry arbitrary offsets, and an out-of-bounds DMA faults the chip
+    off = jnp.clip(byte_off + FRONT_PAD, 0, tabf.shape[0] - FET - TILE)
     rows = fetch_rows(tabf, off, use_pallas=use_pallas)
     rows = jax.lax.bitcast_convert_type(rows, jnp.uint8)
     return _shift_cut(rows, off % TILE, span, jnp)
@@ -194,6 +196,27 @@ def _gcut(region, col0, width, g0, n_g, g_first, g_last, jnp):
     w = jnp.where(pos < 0, g_first, w)
     w = jnp.where(pos >= n_g, g_last, w)
     return w
+
+
+def _rowcopy(M, idx, jnp):
+    """M[idx] for an int32 row matrix — XLA lowers jnp.take row gathers to
+    ~25 ns/element loops; on TPU one aligned DMA moves the whole row.
+    Falls back to the windowed gather on non-TPU backends."""
+    from .fetch import FET, TILE, default_use_pallas, fetch_rows
+    N, C = M.shape
+    if not default_use_pallas():
+        return _win(M.reshape(-1), idx * C, C, jnp)
+    import jax
+    rb = C * 4
+    b = jax.lax.bitcast_convert_type(M, jnp.int8).reshape(N * rb)
+    b = jnp.concatenate([b, jnp.zeros(FET + TILE, jnp.int8)])
+    off = jnp.clip(idx * rb, 0, N * rb)
+    rows = fetch_rows(b, off, use_pallas=True)
+    cut = _shift_cut(jax.lax.bitcast_convert_type(rows, jnp.uint8),
+                     off % TILE, rb, jnp)
+    K = idx.shape[0]
+    return jax.lax.bitcast_convert_type(
+        cut.reshape(K, C, 4), jnp.int32).reshape(K, C)
 
 
 def _rcut(region, col0, width, r0, lmax, jnp):
@@ -1280,9 +1303,9 @@ def make_grow_engine2(cfg: StitchConfig, AMAX: int, RMAX: int, A_CAP: int,
             aidx = jnp.nonzero(ok, size=A_CAP, fill_value=A_CAP - 1)[0] \
                 .astype(i32)
             new_live = jnp.arange(A_CAP, dtype=i32) < n_new
-            sc_n = _win(sc2.reshape(-1), aidx * NSCAL, NSCAL, jnp)
-            ex_n = _win(ex2.reshape(-1), aidx * NEXB, NEXB, jnp)
-            sj_n = _win(sj2.reshape(-1), aidx * NSJB, NSJB, jnp)
+            sc_n = _rowcopy(sc2, aidx, jnp)
+            ex_n = _rowcopy(ex2, aidx, jnp)
+            sj_n = _rowcopy(sj2, aidx, jnp)
             A_SC = jax.lax.dynamic_update_slice(A_SC, sc_n, (n_app, 0))
             A_EX = jax.lax.dynamic_update_slice(A_EX, ex_n, (n_app, 0))
             A_SJ = jax.lax.dynamic_update_slice(A_SJ, sj_n, (n_app, 0))
@@ -1310,17 +1333,17 @@ def make_grow_engine2(cfg: StitchConfig, AMAX: int, RMAX: int, A_CAP: int,
             n_keep = keep.sum().astype(i32)
             kidx = jnp.nonzero(keep, size=ATOT, fill_value=ATOT - 1)[0] \
                 .astype(i32)
-            A_SC = _win(A_SC.reshape(-1), kidx * NSCAL, NSCAL, jnp)
-            A_EX = _win(A_EX.reshape(-1), kidx * NEXB, NEXB, jnp)
-            A_SJ = _win(A_SJ.reshape(-1), kidx * NSJB, NSJB, jnp)
+            A_SC = _rowcopy(A_SC, kidx, jnp)
+            A_EX = _rowcopy(A_EX, kidx, jnp)
+            A_SJ = _rowcopy(A_SJ, kidx, jnp)
             n_r = ret.sum().astype(i32)
             ridx = jnp.nonzero(ret, size=AMAX, fill_value=ATOT - 1)[0] \
                 .astype(i32)
             # gathers read the PRE-compaction blocks; recompute from the
             # original arrays via the flat views captured above
-            sc_r = _win(st[0][0].reshape(-1), ridx * NSCAL, NSCAL, jnp)
-            ex_r = _win(st[0][1].reshape(-1), ridx * NEXB, NEXB, jnp)
-            sj_r = _win(st[0][2].reshape(-1), ridx * NSJB, NSJB, jnp)
+            sc_r = _rowcopy(st[0][0], ridx, jnp)
+            ex_r = _rowcopy(st[0][1], ridx, jnp)
+            sj_r = _rowcopy(st[0][2], ridx, jnp)
             R_SC = jax.lax.dynamic_update_slice(R_SC, sc_r, (n_ret, 0))
             R_EX = jax.lax.dynamic_update_slice(R_EX, ex_r, (n_ret, 0))
             R_SJ = jax.lax.dynamic_update_slice(R_SJ, sj_r, (n_ret, 0))
@@ -1440,9 +1463,9 @@ def make_grow_engine(cfg: StitchConfig, LMAX: int, A_CAP: int, NP: int,
             aidx = jnp.nonzero(ok, size=A_CAP, fill_value=A_CAP - 1)[0] \
                 .astype(i32)
             new_live = jnp.arange(A_CAP, dtype=i32) < n_new
-            sc_n = _win(sc2.reshape(-1), aidx * NSCAL, NSCAL, jnp)
-            ex_n = _win(ex2.reshape(-1), aidx * NEXB, NEXB, jnp)
-            sj_n = _win(sj2.reshape(-1), aidx * NSJB, NSJB, jnp)
+            sc_n = _rowcopy(sc2, aidx, jnp)
+            ex_n = _rowcopy(ex2, aidx, jnp)
+            sj_n = _rowcopy(sj2, aidx, jnp)
             SCAL = jax.lax.dynamic_update_slice(SCAL, sc_n, (n_lanes, 0))
             EXB = jax.lax.dynamic_update_slice(EXB, ex_n, (n_lanes, 0))
             SJB = jax.lax.dynamic_update_slice(SJB, sj_n, (n_lanes, 0))
@@ -1574,9 +1597,9 @@ def make_pack_engine(LTOT: int, DL_CAP: int):
 
     def pack(SCAL, EXB, SJB, idx):
         idx = idx.astype(jnp.int32)
-        sc = _win(SCAL.reshape(-1), idx * NSCAL, NSCAL, jnp)
-        ex = _win(EXB.reshape(-1), idx * NEXB, NEXB, jnp)
-        sj = _win(SJB.reshape(-1), idx * NSJB, NSJB, jnp)
+        sc = _rowcopy(SCAL, idx, jnp)
+        ex = _rowcopy(EXB, idx, jnp)
+        sj = _rowcopy(SJB, idx, jnp)
         return sc, ex, sj
 
     return jax.jit(pack)

@@ -94,11 +94,21 @@ def _fetch_rows_xla(table: jax.Array, off: jax.Array) -> jax.Array:
     return jnp.take(table, idx, mode="clip")
 
 
+# per-call row cap: the prefetched offset array lives in SMEM (1 MB); big
+# batches are split into sequential pallas calls
+_ROWS_MAX = 1 << 15
+
+
 def fetch_rows(table: jax.Array, off: jax.Array, *, use_pallas: bool) -> jax.Array:
     """[B] int32 byte offsets -> [B, FET] int8 aligned rows (see module doc)"""
-    if use_pallas:
+    if not use_pallas:
+        return _fetch_rows_xla(table, off)
+    B = off.shape[0]
+    if B <= _ROWS_MAX:
         return _fetch_rows_pallas(table, off)
-    return _fetch_rows_xla(table, off)
+    parts = [_fetch_rows_pallas(table, off[i:i + _ROWS_MAX])
+             for i in range(0, B, _ROWS_MAX)]
+    return jnp.concatenate(parts, axis=0)
 
 
 def default_use_pallas() -> bool:
