@@ -1784,9 +1784,12 @@ def _run_group(gi, P, st, cfg, rows, pm, wan, pidx, a, b_, B, lmax, ntab,
     # parameter snaps to a coarse ladder so the warm run compiles the same
     # executables the timed run uses (a fresh remote compile mid-run costs
     # minutes)
+    # ONE engine shape per escalation level: every remote compile costs
+    # minutes, so pair/seed tables snap to a single generous bucket (the
+    # zero padding compresses over the tunnel)
     pot = lambda n, lo: 1 << max(lo, (max(int(n), 1) - 1).bit_length())
-    NP_b = pot(NPg, 13)
-    NW_b = pot(len(rows_g), 14)
+    NP_b = pot(NPg, 15)
+    NW_b = pot(len(rows_g), 18)
     pm_p = np.zeros((NP_b, 8), np.int32)
     pm_p[:NPg] = pm_g
     rows_p = np.zeros((NW_b, 8), np.int32)
@@ -1794,9 +1797,9 @@ def _run_group(gi, P, st, cfg, rows, pm, wan, pidx, a, b_, B, lmax, ntab,
     # active-queue / retired-buffer capacities (see make_grow_engine2)
     A_HARD = 1 << 19
     R_HARD = 1 << 21
-    AMAX = min(pot(max(2 * NPg + len(rows_g) // 2, 1 << 16), 16), A_HARD)
-    RMAX = min(pot(max(NPg + 2 * len(rows_g), 1 << 17), 17), R_HARD)
-    A_CAP = min(pot(NPg, 14), 1 << 17)
+    AMAX = min(pot(max(2 * NPg + len(rows_g) // 2, 1 << 17), 17), A_HARD)
+    RMAX = min(pot(max(NPg + 2 * len(rows_g), 1 << 19), 19), R_HARD)
+    A_CAP = 1 << (14 if s_max <= 16 else 16)
 
     while True:
         key = (cfg, AMAX, RMAX, A_CAP, NP_b, B, lmax, int(gi.n_genome),
@@ -1871,6 +1874,9 @@ def _run_group(gi, P, st, cfg, rows, pm, wan, pidx, a, b_, B, lmax, ntab,
                 rs_dev, ft_dev, ct_dev)
             accept_d.block_until_ready()
         n_l = int(n_lanes)
+        # bucket device->host slice shapes: a python-int slice of a device
+        # array compiles one executable per distinct length
+        n_lb = min(_round_up(n_l, 1 << 14), SCAL.shape[0])
         # over-limit classification + selective download (SE lazy configs;
         # the PE keep-fix happens host-side AFTER tb selection, so PE runs
         # download everything)
@@ -1891,7 +1897,7 @@ def _run_group(gi, P, st, cfg, rows, pm, wan, pidx, a, b_, B, lmax, ntab,
                 dlm_d, over_d, n_dl_d = seng(SCAL, EXB, n_lanes, fb, pm_dev)
                 n_dl_d.block_until_ready()
             with _tick("dev_download"):
-                dlm = np.asarray(dlm_d[:n_l])
+                dlm = np.asarray(dlm_d[:n_lb])[:n_l]
             over_h = np.asarray(over_d).astype(bool)[:len(st.fallback)]
             idx = np.nonzero(dlm)[0].astype(np.int32)
             DL_CAP = _round_up(len(idx), 1 << 13)
@@ -1913,16 +1919,17 @@ def _run_group(gi, P, st, cfg, rows, pm, wan, pidx, a, b_, B, lmax, ntab,
                 accept=np.ones(len(idx), bool),
                 pe=np.zeros(len(idx), bool), P=P, lread=lread)
             return res[0], res[1], over_h
-        accept_h = np.asarray(accept_d[:n_l]).astype(bool)
-        pe_h = np.asarray(pe_d[:n_l]).astype(bool)
+        accept_h = np.asarray(accept_d[:n_lb])[:n_l].astype(bool)
+        pe_h = np.asarray(pe_d[:n_lb])[:n_l].astype(bool)
 
     n_lanes = int(n_lanes)
+    n_lanes_b = min(_round_up(max(n_lanes, 1), 1 << 14), SCAL.shape[0])
     # ---- download the completed frontier and select/sort on host
     from .pipeline import _tick
     with _tick("dev_download"):
-        SCALh = np.asarray(SCAL[:n_lanes])
-        EXh = np.asarray(EXB[:n_lanes])
-        SJh = np.asarray(SJB[:n_lanes])
+        SCALh = np.asarray(SCAL[:n_lanes_b])[:n_lanes]
+        EXh = np.asarray(EXB[:n_lanes_b])[:n_lanes]
+        SJh = np.asarray(SJB[:n_lanes_b])[:n_lanes]
     res = lanes_from_blocks(SCALh, EXh, SJh, pidx[a:b_], st, s_max,
                             accept=accept_h, pe=pe_h, P=P, lread=lread)
     if accept_h is not None:

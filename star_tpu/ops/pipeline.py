@@ -469,13 +469,15 @@ class DeviceAligner:
         if int(ovf) != 0:
             return None
         n_o = int(n_out)
-        rows = np.asarray(out[:max(n_o, 1)])[:n_o]
+        n_ob = min(((max(n_o, 1) + 8191) // 8192) * 8192, OCAP)
+        rows = np.asarray(out[:n_ob])[:n_o]
         nprobes = np.asarray(nprobes)[:NC]
         np_max = int(nprobes.max()) if NC else 0
         mbest = np.zeros((NC, MAXP), np.int32)
         if np_max:
+            npm_b = min(((np_max + 7) // 8) * 8, MAXP)
             mbest[:, :np_max] = np.asarray(
-                mbest_acc[:, :np_max])[:NC]
+                mbest_acc[:, :npm_b])[:NC, :np_max]
         oml = np.zeros((NC, MAXP, D), np.int32)
         onr = np.zeros_like(oml)
         olo = np.zeros_like(oml)
