@@ -176,8 +176,11 @@ def _fetch_region(tabf, byte_off, span, jnp, use_pallas):
     import jax
     from .fetch import FET, TILE, fetch_rows
     # clamp into the DMA-safe range: junk lanes (slice padding, dead rows)
-    # carry arbitrary offsets, and an out-of-bounds DMA faults the chip
-    off = jnp.clip(byte_off + FRONT_PAD, 0, tabf.shape[0] - FET - TILE)
+    # carry arbitrary offsets, and an out-of-bounds DMA faults the chip.
+    # The DMA reads [align1024(off), +FET), and align(off) <= off, so
+    # off <= size - FET is safe; a tighter bound would clamp REAL offsets
+    # on small tables (the u16 cap table is ~4 KB)
+    off = jnp.clip(byte_off + FRONT_PAD, 0, tabf.shape[0] - FET)
     rows = fetch_rows(tabf, off, use_pallas=use_pallas)
     rows = jax.lax.bitcast_convert_type(rows, jnp.uint8)
     return _shift_cut(rows, off % TILE, span, jnp)
