@@ -112,7 +112,21 @@ def main():
     Pw = P.clone(readMapNumber=P.tpuBatchSize + n_part,
                  outFileNamePrefix="/tmp/star_tpu_bench_chr20/warm/")
     os.makedirs("/tmp/star_tpu_bench_chr20/warm", exist_ok=True)
-    align_reads(Pw, gi=gi)
+    tw0 = time.time()
+    sw = align_reads(Pw, gi=gi)
+    warm_dt = time.time() - tw0
+    # provisional result: the remote-compile warm-up can exceed an outer
+    # budget; emit a parseable (pessimistic, compile-inclusive) line now so
+    # a timeout in the timed section still records a real measurement
+    print(json.dumps({
+        "metric": "reads aligned/sec/chip (PROVISIONAL warm pass incl. "
+                  "remote jit compiles; chr20-scale 60MB genome)",
+        "value": round(sw.read_n / warm_dt, 2),
+        "unit": "reads/s",
+        "vs_baseline": round(sw.read_n / warm_dt / baseline_rps, 4),
+        "detail": {"n_reads": sw.read_n, "warm_sec": round(warm_dt, 1),
+                   "baseline_ref_reads_per_sec_1thread": baseline_rps},
+    }), flush=True)
 
     from star_tpu.ops.pipeline import TIMERS
     from star_tpu.ops.batch_engine import FB_STATS
@@ -167,12 +181,12 @@ def main():
                   "60MB genome, 100k reads)",
         "value": round(reads_per_sec, 2),
         "unit": "reads/s",
-        "vs_baseline": round(reads_per_sec / BASELINE_REF_READS_PER_SEC, 4),
+        "vs_baseline": round(reads_per_sec / baseline_rps, 4),
         "detail": {
             "seed_search_probes_per_sec": round(probes_per_sec, 0),
             "random_fetch_GBps": round(fetch_bw / 1e9, 1),
             "hbm_bw_fraction": round(hbm_bw_fraction, 4),
-            "baseline_ref_reads_per_sec_1thread": BASELINE_REF_READS_PER_SEC,
+            "baseline_ref_reads_per_sec_1thread": baseline_rps,
             "n_reads": stats.read_n,
             "phases_sec": phases,
             "oracle_fallback_reads": int(FB_STATS.get("env_final", 0)),
