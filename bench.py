@@ -7,10 +7,9 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "reads/s", "vs_baseline": N}
 
 vs_baseline compares against reference STAR 2.7.11b single-thread mapping
-speed measured on the SAME generated dataset in this container:
-51.43 M reads/hour = 14286 reads/s (STAR 2.7.11b, --runThreadN 1,
---readMapNumber 100000; see BASELINE.md).  The north-star target is >=5x a
-32-core node, i.e. vs_baseline_32core >= 5.
+speed measured on the SAME generated dataset in THIS container on first
+run and cached (~3,300 reads/s; see ref_baseline()).  The north-star
+target is >=5x a 32-core node.
 
 Dataset + index are cached under /tmp/star_tpu_bench_chr20; a cold run pays
 the one-time index build (~6 min: native C++ suffix sort + chunked SAi).
